@@ -1,0 +1,52 @@
+"""Classification losses with exact reference semantics.
+
+- :func:`weighted_cross_entropy` matches ``torch.nn.CrossEntropyLoss(weight=w)``
+  (the v2 criterion, reference train2.py:523): per-sample loss is
+  ``-w[y] * log_softmax(logits)[y]`` and the mean is normalized by
+  ``sum(w[y])`` over the batch, not by the batch size.
+- :func:`focal_loss` matches the reference ``FocalLoss`` (train2.py:40-70,
+  used as the v1 criterion at train.py:251): ``(1-pt)^gamma * ce`` with
+  optional per-class alpha, plain mean reduction.
+
+Both accept a 0/1 ``sample_weight`` so that index-padded batches (the tail
+batch of an epoch under fixed-shape scanning) contribute nothing — this makes
+the padded-batch gradient identical to the reference's ragged final batch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _per_sample_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+
+
+def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
+                           class_weights: Optional[jnp.ndarray] = None,
+                           sample_weight: Optional[jnp.ndarray] = None
+                           ) -> jnp.ndarray:
+    ce = _per_sample_ce(logits, labels)
+    w = jnp.ones_like(ce) if class_weights is None else class_weights[labels]
+    if sample_weight is not None:
+        w = w * sample_weight
+    return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
+def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+               gamma: float = 2.0,
+               alpha: Optional[jnp.ndarray] = None,
+               sample_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    ce = _per_sample_ce(logits, labels)
+    pt = jnp.exp(-ce)
+    fl = (1.0 - pt) ** gamma * ce
+    if alpha is not None:
+        fl = alpha[labels] * fl
+    if sample_weight is not None:
+        return jnp.sum(fl * sample_weight) / jnp.maximum(
+            jnp.sum(sample_weight), 1e-12)
+    return jnp.mean(fl)

@@ -1,0 +1,64 @@
+"""Test configuration: emulate an 8-device TPU mesh on CPU.
+
+Must set XLA flags before the first jax import — the TPU-native analog of
+"test multi-node without a cluster" (SURVEY.md §4).
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the (single,
+# serialized) TPU tunnel; tests must run on the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+REFERENCE_VIDEO_DIR = "/root/reference/video_features"
+REFERENCE_AUDIO_DIR = "/root/reference/audio_features"
+
+
+def has_reference_features() -> bool:
+    return os.path.isdir(REFERENCE_VIDEO_DIR) and os.path.isdir(REFERENCE_AUDIO_DIR)
+
+
+requires_reference_data = pytest.mark.skipif(
+    not has_reference_features(), reason="reference feature artifacts not present")
+
+
+@pytest.fixture(scope="session")
+def synthetic_feature_dirs(tmp_path_factory):
+    """A tiny on-disk feature dataset following the reference artifact
+    contract, with both CREMA-D and RAVDESS naming."""
+    root = tmp_path_factory.mktemp("features")
+    vdir = root / "video_features"
+    adir = root / "audio_features"
+    vdir.mkdir()
+    adir.mkdir()
+    rng = np.random.default_rng(0)
+
+    emotions = ["NEU", "HAP", "SAD", "ANG", "FEA", "DIS"]
+    keys = []
+    for actor in (1001, 1002, 1003, 1004, 1005, 1006):
+        for emo in emotions:
+            for rep in ("A", "B"):
+                keys.append(f"{actor}_IE{rep}_{emo}_XX")
+    # A few RAVDESS clips (emotion codes 01..07 incl. dropped 02).
+    for code in ("01", "02", "03", "04", "05", "06", "07"):
+        keys.append(f"Video_Speech_Actor_01_01-01-{code}-01-01-01-01")
+
+    for key in keys:
+        t = int(rng.integers(1, 6))
+        np.save(vdir / f"{key}_faces_mp4_features.npy",
+                rng.normal(size=(t, 768)).astype(np.float32))
+        emb = rng.normal(size=(1024,)).astype(np.float32)
+        emb /= np.linalg.norm(emb)
+        np.save(adir / f"{key}_voice_mp4_features.npy", emb.astype(np.float16))
+    # One unpaired audio file (mimics the reference's extra file).
+    np.save(adir / "9999_ZZZ_SAD_XX_voice_mp4_features.npy",
+            rng.normal(size=(1024,)).astype(np.float16))
+    return str(vdir), str(adir)

@@ -1,0 +1,94 @@
+"""Data-pipeline tests: normalization, padding, splits, class weights."""
+
+import numpy as np
+import pytest
+
+from mmer_tpu.config import DataConfig
+from mmer_tpu.data.pipeline import (
+    balanced_class_weights, load_dataset, normalize_global, pad_videos,
+    stratified_splits)
+
+
+def test_normalize_global_matches_torch_semantics():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    videos = [rng.normal(size=(t, 8)).astype(np.float32) for t in (2, 3, 5)]
+    audios = rng.normal(size=(3, 4)).astype(np.float32)
+    out_v, out_a, stats = normalize_global(videos, audios)
+
+    tv = [torch.tensor(v) for v in videos]
+    ta = torch.tensor(audios)
+    all_video = torch.cat(tv, dim=0)
+    v_mean, v_std = all_video.mean(dim=0), all_video.std(dim=0) + 1e-6
+    a_mean, a_std = ta.mean(dim=0), ta.std(dim=0) + 1e-6
+    for ours, theirs in zip(out_v, tv):
+        np.testing.assert_allclose(
+            ours, ((theirs - v_mean) / v_std).numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        out_a, ((ta - a_mean) / a_std).numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_pad_videos_mask_convention():
+    videos = [np.ones((2, 4), np.float32), np.ones((5, 4), np.float32)]
+    padded, mask, lengths = pad_videos(videos)
+    assert padded.shape == (2, 5, 4)
+    assert list(lengths) == [2, 5]
+    # True = padded (reference collate_fn convention, train2.py:439-441)
+    assert mask[0].tolist() == [False, False, True, True, True]
+    assert mask[1].tolist() == [False] * 5
+    assert np.all(padded[0, 2:] == 0.0)
+
+
+def test_stratified_splits_80_10_10():
+    labels = np.repeat(np.arange(6), 100)
+    tr, va, te = stratified_splits(labels, seed=42)
+    assert len(tr) == 480 and len(va) == 60 and len(te) == 60
+    assert set(tr) | set(va) | set(te) == set(range(600))
+    for split in (tr, va, te):
+        counts = np.bincount(labels[split], minlength=6)
+        assert counts.min() == counts.max()  # perfectly stratified here
+
+
+def test_splits_match_sklearn_reference_exactly():
+    """Same two-stage split as reference train2.py:400-413."""
+    from sklearn.model_selection import train_test_split
+    rng = np.random.default_rng(0)
+    labels = rng.integers(0, 6, size=500)
+    tr, va, te = stratified_splits(labels, seed=42)
+    idx = list(range(500))
+    rtr, rtemp = train_test_split(idx, test_size=0.2, random_state=42,
+                                  stratify=labels)
+    rva, rte = train_test_split(rtemp, test_size=0.5, random_state=42,
+                                stratify=[labels[i] for i in rtemp])
+    assert list(tr) == list(rtr) and list(va) == list(rva) and list(te) == list(rte)
+
+
+def test_class_weights_balanced_with_boost():
+    from sklearn.utils.class_weight import compute_class_weight
+    labels = np.array([0] * 50 + [1] * 100 + [2] * 100 + [3] * 100 +
+                      [4] * 100 + [5] * 100)
+    ours = balanced_class_weights(labels)
+    ref = compute_class_weight("balanced", classes=np.arange(6), y=labels)
+    ref[4] *= 1.2
+    ref[5] *= 1.2
+    np.testing.assert_allclose(ours, ref.astype(np.float32), rtol=1e-6)
+
+
+def test_load_dataset_end_to_end(synthetic_feature_dirs):
+    vdir, adir = synthetic_feature_dirs
+    cfg = DataConfig(video_feat_dir=vdir, audio_feat_dir=adir, batch_size=8)
+    data, splits = load_dataset(cfg)
+    n = data.num_samples
+    assert n == 78
+    assert data.video.shape == (n, data.max_chunks, 768)
+    assert data.audio.shape == (n, 1024)
+    assert data.pad_mask.shape == (n, data.max_chunks)
+    assert data.labels.shape == (n,)
+    assert len(splits.train) + len(splits.val) + len(splits.test) == n
+    assert splits.class_weights.shape == (6,)
+    # padded positions are zero and masked
+    for i in range(n):
+        t = data.lengths[i]
+        assert np.all(data.video[i, t:] == 0.0)
+        assert np.all(data.pad_mask[i, t:])
+        assert not np.any(data.pad_mask[i, :t])
