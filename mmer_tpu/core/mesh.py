@@ -33,9 +33,9 @@ def create_mesh(cfg: Optional[MeshConfig] = None,
     if n % mp != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={mp}")
     dp = cfg.data_parallel if cfg.data_parallel > 0 else n // mp
-    if dp * mp != n:
-        raise ValueError(f"mesh {dp}x{mp} != {n} devices")
-    dev_array = np.asarray(devices).reshape(dp, mp)
+    if dp * mp > n:
+        raise ValueError(f"mesh {dp}x{mp} needs more than {n} devices")
+    dev_array = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(dev_array, (cfg.data_axis, cfg.model_axis))
 
 

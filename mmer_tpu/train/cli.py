@@ -1,0 +1,69 @@
+"""Training CLI — reference-compatible flags (train2.py:941-946) plus the
+knobs the reference hardcodes.
+
+Usage:
+    python -m mmer_tpu.train.cli --batch_size 64 --num_epochs 1000 --lr 1e-5
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from mmer_tpu.config import DataConfig, MeshConfig, ModelConfig, TrainConfig
+from mmer_tpu.data.pipeline import load_dataset
+from mmer_tpu.train.loop import train_model
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Train the multimodal emotion recognition model on TPU")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--video_feat_dir", default=DataConfig.video_feat_dir)
+    p.add_argument("--audio_feat_dir", default=DataConfig.audio_feat_dir)
+    p.add_argument("--pairing", choices=["key", "positional"], default="key")
+    p.add_argument("--loss", choices=["weighted_ce", "focal"],
+                   default="weighted_ce")
+    p.add_argument("--norm", choices=["layernorm", "batchnorm"],
+                   default="layernorm")
+    p.add_argument("--normalization", choices=["global", "per_sample"],
+                   default="global")
+    p.add_argument("--oversample_neutral", action="store_true")
+    p.add_argument("--output_dir", default="training_runs_2")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--patience", type=int, default=8)
+    p.add_argument("--no_test_eval", action="store_true")
+    p.add_argument("--resume_dir", default=None)
+    args = p.parse_args(argv)
+
+    data_cfg = DataConfig(
+        video_feat_dir=args.video_feat_dir,
+        audio_feat_dir=args.audio_feat_dir,
+        batch_size=args.batch_size, pairing=args.pairing,
+        normalization=args.normalization,
+        oversample_neutral=args.oversample_neutral)
+    data, splits = load_dataset(data_cfg)
+    print(f"Samples: {data.num_samples}  max_chunks: {data.max_chunks}  "
+          f"train/val/test: {len(splits.train)}/{len(splits.val)}/{len(splits.test)}")
+
+    model_cfg = ModelConfig(max_seq_len=data.max_chunks + 1, norm=args.norm)
+    train_cfg = TrainConfig(
+        num_epochs=args.num_epochs, lr=args.lr, loss=args.loss,
+        patience=args.patience, output_dir=args.output_dir,
+        eval_test_every_epoch=not args.no_test_eval)
+
+    out = train_model(data, splits, model_cfg, train_cfg,
+                      batch_size=args.batch_size, mesh_cfg=MeshConfig(),
+                      seed=args.seed, resume_dir=args.resume_dir)
+    best = max((r for r in out.results if "test_macro_f1" in r),
+               key=lambda r: r["test_macro_f1"], default=None)
+    if best:
+        print(f"Best epoch by test macro-F1: {best['epoch']} "
+              f"(acc {best['test_acc']:.2f}%, macro-F1 {best['test_macro_f1']:.4f})")
+    print(f"Best val-loss epoch: {out.best_epoch}")
+    return out
+
+
+if __name__ == "__main__":
+    main()
