@@ -8,11 +8,23 @@ import os
 
 # Force CPU: the ambient environment pins JAX_PLATFORMS to the (single,
 # serialized) TPU tunnel; tests must run on the virtual 8-device CPU mesh.
+# The heavy lifting (re-exec with a scrubbed env when the tunnel's
+# sitecustomize got there first) happens in tests/force_cpu.py, loaded as an
+# early ``-p`` plugin via pyproject addopts.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: this box has ONE host CPU, so every XLA
+# compile is ~1-10s; caching across test runs turns the suite from ~10min
+# cold to seconds warm.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
