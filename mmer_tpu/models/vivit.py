@@ -1,0 +1,163 @@
+"""ViViT video feature extractor, TPU-native.
+
+Capability parity with the reference's from-scratch ViViT
+(reference video_extractor.py:7-104): tubelet patchify (tubelet 4, patch
+16×16 over 32-frame 224² chunks → 8·196 = 1568 tokens), pre-norm
+transformer (depth 12, heads 12, dim 768, head_dim 64, GELU FFN 3072, no
+biases on qkv/out projections, no final LayerNorm), CLS pooling → one 768-d
+vector per chunk.
+
+TPU-first design decisions:
+- The Conv3d patchify (video_extractor.py:16) is algebraically a
+  block-reshape followed by ONE (B·N, 3072)×(3072, 768) matmul — expressed
+  exactly that way here so it lands on the MXU as a single large GEMM
+  instead of a strided convolution.
+- Attention over S=1569 tokens runs through the fused Pallas kernel
+  (ops/flash_attention.py) that never materializes the (B, H, S, S) score
+  tensor in HBM; set ``use_flash=False`` for the differentiable XLA path.
+- Chunks are processed **batched** — the reference runs batch=1 per chunk
+  under no_grad (video_extractor.py:152-156), its #1 throughput sin
+  (SURVEY.md §3.2).
+- bf16 compute / f32 params & softmax.
+
+Weight semantics: the reference never loads trained ViViT weights — each
+process uses a fresh random init as a fixed random projection
+(video_extractor.py:184; its extract- and serve-time embeddings therefore
+*disagree*).  Here params come from one seeded init (``init_vivit_params``)
+persisted via train/checkpoint.py so extract and serve agree by
+construction (SURVEY.md §7 "hard parts").
+
+The reference's pos_embed/cls_token use torch.randn — i.e. N(0, 1), not the
+usual N(0, 0.02) — matched here for behavioral parity
+(video_extractor.py:88-89).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mmer_tpu.config import ViViTConfig
+from mmer_tpu.ops.flash_attention import flash_attention, reference_attention
+
+
+def _dtype(cfg: ViViTConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+class TubeletEmbed(nn.Module):
+    """Non-overlapping tubelet patchify as reshape + one MXU matmul.
+
+    Input  (B, F, H, W, C) → tokens (B, (F/t)·(H/p)·(W/p), dim), token
+    order (t', h', w') row-major — the same flatten order as the
+    reference's Conv3d + ``flatten(2)`` (video_extractor.py:20-23).
+    """
+
+    cfg: ViViTConfig
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        b, f, hh, ww, c = video.shape
+        t = cfg.tubelet_size
+        ph, pw = cfg.patch_size
+        ft, hp, wp = f // t, hh // ph, ww // pw
+
+        x = video.reshape(b, ft, t, hp, ph, wp, pw, c)
+        # → (B, t', h', w', t, ph, pw, C): group the within-tubelet axes last.
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+        x = x.reshape(b, ft * hp * wp, t * ph * pw * c)
+        x = nn.Dense(cfg.dim, dtype=_dtype(cfg), param_dtype=jnp.float32,
+                     name="proj")(x.astype(_dtype(cfg)))
+        return x
+
+
+class PreNormBlock(nn.Module):
+    """x = x + Attn(LN(x)); x = x + FFN(LN(x)) (video_extractor.py:66-80)."""
+
+    cfg: ViViTConfig
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        h, hd = cfg.heads, cfg.dim_head
+        inner = h * hd
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        qkv = nn.Dense(3 * inner, use_bias=False, dtype=dt,
+                       param_dtype=jnp.float32, name="to_qkv")(y.astype(dt))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_first(z):
+            b, s, _ = z.shape
+            return z.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_first(q), heads_first(k), heads_first(v)
+        attn = flash_attention(q, k, v) if self.use_flash else \
+            reference_attention(q, k, v)
+        b, _, s, _ = attn.shape
+        attn = attn.transpose(0, 2, 1, 3).reshape(b, s, inner)
+        attn = nn.Dense(cfg.dim, use_bias=False, dtype=dt,
+                        param_dtype=jnp.float32, name="to_out")(attn)
+        x = x + attn.astype(x.dtype)
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.Dense(cfg.mlp_dim, dtype=dt, param_dtype=jnp.float32,
+                     name="ffn_in")(y.astype(dt))
+        y = nn.gelu(y)
+        y = nn.Dense(cfg.dim, dtype=dt, param_dtype=jnp.float32,
+                     name="ffn_out")(y)
+        return x + y.astype(x.dtype)
+
+
+class ViViTFeatureExtractor(nn.Module):
+    """Batched chunk embedder: (B, 32, 224, 224, 3) → (B, 768)."""
+
+    cfg: ViViTConfig
+    use_flash: bool = True
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = TubeletEmbed(cfg, name="embed")(video)
+        b, n, d = x.shape
+
+        if cfg.pool == "cls":
+            cls = self.param("cls_token", nn.initializers.normal(stddev=1.0),
+                             (1, 1, d), jnp.float32)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, d)), x], axis=1)
+            n = n + 1
+        pos = self.param("pos_embed", nn.initializers.normal(stddev=1.0),
+                         (1, n, d), jnp.float32)
+        x = x + pos.astype(x.dtype)
+
+        # Remat per block: activations for S=1569 × depth 12 would otherwise
+        # dominate HBM when batching many chunks.
+        block = nn.remat(PreNormBlock) if not self.is_initializing() \
+            else PreNormBlock
+        for i in range(cfg.depth):
+            x = block(cfg, use_flash=self.use_flash, name=f"block_{i}")(x)
+
+        if cfg.pool == "cls":
+            feats = x[:, 0]
+        else:
+            feats = jnp.mean(x, axis=1)
+        return feats.astype(jnp.float32)
+
+
+def init_vivit_params(cfg: Optional[ViViTConfig] = None,
+                      use_flash: bool = True):
+    """The framework's single seeded ViViT init (cfg.param_seed) — the fixed
+    random projection both extract and serve share."""
+    cfg = cfg or ViViTConfig()
+    model = ViViTFeatureExtractor(cfg, use_flash=use_flash)
+    dummy = jnp.zeros((1, cfg.num_frames, *cfg.image_size, cfg.in_channels),
+                      jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(cfg.param_seed)}, dummy)
+    return model, params

@@ -1,0 +1,91 @@
+"""ViViT extractor + fused attention kernel tests (CPU interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmer_tpu.config import ViViTConfig
+from mmer_tpu.models.vivit import ViViTFeatureExtractor, init_vivit_params
+from mmer_tpu.ops.flash_attention import flash_attention, reference_attention
+
+TINY = ViViTConfig(image_size=(32, 32), patch_size=(16, 16), num_frames=8,
+                   tubelet_size=4, dim=64, depth=2, heads=2, dim_head=32,
+                   mlp_dim=128, compute_dtype="float32")
+
+
+def test_flash_attention_matches_reference():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 3, 40, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(2, 3, 40, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 3, 40, 64)), jnp.float32)
+    got = flash_attention(q, k, v, interpret=True)
+    want = reference_attention(q, k, v)
+    assert got.shape == (2, 3, 40, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_flash_attention_padding_is_masked():
+    """S=40 pads to 128 internally; padded keys must get zero softmax mass,
+    so results must be identical to an unpadded-size run."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(1, 2, 128, 64)), jnp.float32)
+    # Exact block multiple: no padding path.
+    full = flash_attention(q, k, v, interpret=True)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_vivit_shapes_and_determinism():
+    model, params = init_vivit_params(TINY, use_flash=False)
+    rng = np.random.default_rng(0)
+    chunks = jnp.asarray(rng.random(size=(3, 8, 32, 32, 3)), jnp.float32)
+    feats = model.apply(params, chunks)
+    assert feats.shape == (3, TINY.dim)
+    assert feats.dtype == jnp.float32
+
+    # Same seed → same params → same features (the property the reference
+    # LACKS across processes, video_extractor.py:184).
+    _, params2 = init_vivit_params(TINY, use_flash=False)
+    feats2 = model.apply(params2, chunks)
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))
+
+
+def test_vivit_flash_path_matches_xla_path():
+    model_f, params = init_vivit_params(TINY, use_flash=True)
+    model_x = ViViTFeatureExtractor(TINY, use_flash=False)
+    rng = np.random.default_rng(2)
+    chunks = jnp.asarray(rng.random(size=(2, 8, 32, 32, 3)), jnp.float32)
+    a = model_f.apply(params, chunks)
+    b = model_x.apply(params, chunks)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_vivit_batching_consistency():
+    """Batched chunk processing (our fix for the reference's batch=1 loop,
+    SURVEY.md §3.2) must agree with per-chunk processing."""
+    model, params = init_vivit_params(TINY, use_flash=False)
+    rng = np.random.default_rng(3)
+    chunks = jnp.asarray(rng.random(size=(4, 8, 32, 32, 3)), jnp.float32)
+    batched = np.asarray(model.apply(params, chunks))
+    single = np.concatenate([
+        np.asarray(model.apply(params, chunks[i:i + 1])) for i in range(4)])
+    np.testing.assert_allclose(batched, single, atol=5e-3)
+
+
+def test_tubelet_count():
+    cfg = ViViTConfig()
+    model = ViViTFeatureExtractor(cfg, use_flash=False)
+    video = jnp.zeros((1, 32, 224, 224, 3), jnp.float32)
+    params = model.init({"params": jax.random.PRNGKey(0)}, video)
+    # 8 temporal × 196 spatial + CLS = 1569 positions
+    assert params["params"]["pos_embed"].shape == (1, 1569, 768)
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])
