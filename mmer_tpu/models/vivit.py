@@ -109,7 +109,7 @@ class PreNormBlock(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(cfg.mlp_dim, dtype=dt, param_dtype=jnp.float32,
                      name="ffn_in")(y.astype(dt))
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(cfg.dim, dtype=dt, param_dtype=jnp.float32,
                      name="ffn_out")(y)
         return x + y.astype(x.dtype)

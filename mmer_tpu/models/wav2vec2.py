@@ -1,0 +1,334 @@
+"""Wav2Vec2-large (robust variant) audio encoder in JAX/Flax.
+
+Capability target: the reference's audio embedding path
+(reference voice_extractor.py:16,37-50): HF
+``audeering/wav2vec2-large-robust-12-ft-emotion-msp-dim`` →
+``last_hidden_state`` mean-pool → L2-normalize → (1024,) vector.
+
+Architecture (HF Wav2Vec2 "robust" config: ``do_stable_layer_norm=True``,
+``feat_extract_norm="layer"``, ``conv_bias=True``):
+
+- **Feature encoder**: 7 temporal convolutions (dims 512, kernels
+  10/3/3/3/3/2/2, strides 5/2/2/2/2/2/2), each followed by a per-frame
+  LayerNorm and GELU.  Implemented as ``lax.conv_general_dilated`` over an
+  NLC layout — XLA lowers these to MXU contractions.
+- **Feature projection**: LayerNorm(512) → Dense(1024).
+- **Positional convolution**: grouped Conv1d (kernel 128, groups 16) with
+  the weight-norm parameterization *pre-folded* at conversion time, one
+  trailing timestep trimmed (even kernel), GELU, residual add.
+- **Transformer encoder** (stable-layer-norm variant): per layer
+  ``x = x + Attn(LN(x)); x = x + FFN(LN(x))`` with biased projections,
+  16 heads, FFN 4096 GELU; one final LayerNorm after the stack.
+
+Weights port from any HF torch ``Wav2Vec2Model`` via
+:func:`convert_hf_state` — numeric parity is tested against the torch
+implementation on a tiny random config in tests/test_wav2vec2.py, so the
+same mapping applied to the real checkpoint reproduces the reference's
+embeddings (bf16 tolerance) without needing network access here.
+
+Defects fixed relative to the reference (documented, not replicated):
+- it feeds native-sample-rate audio to a 16 kHz model without resampling
+  (voice_extractor.py:66 loads at source rate; preprocess/audio.py here
+  resamples properly);
+- it mean-pools over *padded* positions when batching variable-length
+  clips (voice_extractor.py:39-48 builds a padded batch and never passes an
+  attention mask); here pooling is length-masked.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mmer_tpu.config import Wav2Vec2Config
+
+
+def _dtype(cfg: Wav2Vec2Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+class ConvFeatureEncoder(nn.Module):
+    """Raw waveform (B, L) → frame features (B, T, conv_dims[-1])."""
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, wave: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        x = wave[:, :, None].astype(dt)           # (B, L, 1)
+        for i, (dim, kernel, stride) in enumerate(
+                zip(cfg.conv_dims, cfg.conv_kernels, cfg.conv_strides)):
+            x = nn.Conv(dim, kernel_size=(kernel,), strides=(stride,),
+                        padding="VALID", use_bias=True, dtype=dt,
+                        param_dtype=jnp.float32, name=f"conv_{i}")(x)
+            if cfg.feat_extract_norm == "layer":
+                x = nn.LayerNorm(dtype=jnp.float32,
+                                 name=f"conv_ln_{i}")(x).astype(dt)
+            x = nn.gelu(x, approximate=False)
+        return x
+
+
+class PosConvEmbed(nn.Module):
+    """Grouped positional convolution (weight-norm folded into the kernel)."""
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        k = cfg.num_conv_pos_embeddings
+        pad = k // 2
+        y = nn.Conv(cfg.hidden_dim, kernel_size=(k,),
+                    padding=[(pad, pad)],
+                    feature_group_count=cfg.num_conv_pos_embedding_groups,
+                    use_bias=True, dtype=dt, param_dtype=jnp.float32,
+                    name="conv")(x.astype(dt))
+        if k % 2 == 0:
+            y = y[:, :-1, :]
+        return nn.gelu(y, approximate=False)
+
+
+class EncoderLayer(nn.Module):
+    """Stable-layer-norm transformer layer (pre-norm, biased projections)."""
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        dt = _dtype(cfg)
+        h = cfg.num_heads
+        d = cfg.hidden_dim
+        hd = d // h
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm_attn")(x)
+        yd = y.astype(dt)
+
+        def proj(name):
+            return nn.DenseGeneral((h, hd), axis=-1, dtype=dt,
+                                   param_dtype=jnp.float32, name=name)(yd)
+
+        q, k, v = proj("q"), proj("k"), proj("v")
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        if pad_mask is not None:
+            bias = jnp.where(pad_mask[:, None, None, :], -jnp.inf, 0.0)
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v,
+                          preferred_element_type=jnp.float32)
+        attn = nn.DenseGeneral(d, axis=(-2, -1), dtype=dt,
+                               param_dtype=jnp.float32,
+                               name="out")(attn.astype(dt))
+        x = x + attn.astype(x.dtype)
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm_ffn")(x)
+        y = nn.Dense(cfg.ffn_dim, dtype=dt, param_dtype=jnp.float32,
+                     name="ffn_in")(y.astype(dt))
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(d, dtype=dt, param_dtype=jnp.float32, name="ffn_out")(y)
+        return x + y.astype(x.dtype)
+
+
+class Wav2Vec2Encoder(nn.Module):
+    """Full model: waveform → per-frame hidden states (B, T, 1024)."""
+
+    cfg: Wav2Vec2Config
+
+    @nn.compact
+    def __call__(self, wave: jnp.ndarray,
+                 frame_pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        feats = ConvFeatureEncoder(cfg, name="feature_encoder")(wave)
+        x = nn.LayerNorm(dtype=jnp.float32, name="proj_norm")(feats)
+        x = nn.Dense(cfg.hidden_dim, dtype=_dtype(cfg),
+                     param_dtype=jnp.float32, name="proj")(x)
+        x = x.astype(jnp.float32)
+
+        # Stable-layer-norm encoder: zero padded frames before the (full
+        # context) positional conv, residual add, layers, final LN.
+        if frame_pad_mask is not None:
+            x = jnp.where(frame_pad_mask[:, :, None], 0.0, x)
+        x = x + PosConvEmbed(cfg, name="pos_conv")(x).astype(x.dtype)
+        for i in range(cfg.num_layers):
+            x = EncoderLayer(cfg, name=f"layer_{i}")(x, frame_pad_mask)
+        x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
+        return x
+
+
+def feat_extract_output_length(cfg: Wav2Vec2Config, input_length: int) -> int:
+    """Conv-stack output length for a given waveform length (matches the
+    torch feature encoder's VALID-conv arithmetic)."""
+    length = input_length
+    for kernel, stride in zip(cfg.conv_kernels, cfg.conv_strides):
+        length = (length - kernel) // stride + 1
+    return max(length, 0)
+
+
+# ---------------------------------------------------------------------------
+# HF torch → flax parameter conversion
+# ---------------------------------------------------------------------------
+
+def convert_hf_state(hf_model: Any, cfg: Wav2Vec2Config) -> dict:
+    """Convert a torch ``transformers.Wav2Vec2Model`` to this module's
+    parameter pytree.  Weight-norm on the positional conv is folded by
+    reading the materialized ``.weight`` property."""
+    import torch
+
+    def t2j(t: "torch.Tensor") -> jnp.ndarray:
+        return jnp.asarray(t.detach().cpu().numpy())
+
+    params: dict = {}
+
+    fe = hf_model.feature_extractor
+    enc_feats: dict = {}
+    for i, layer in enumerate(fe.conv_layers):
+        # torch Conv1d weight (out, in, k) → flax (k, in, out)
+        enc_feats[f"conv_{i}"] = {
+            "kernel": t2j(layer.conv.weight).transpose(2, 1, 0),
+            "bias": t2j(layer.conv.bias),
+        }
+        if cfg.feat_extract_norm == "layer":
+            enc_feats[f"conv_ln_{i}"] = {
+                "scale": t2j(layer.layer_norm.weight),
+                "bias": t2j(layer.layer_norm.bias),
+            }
+    params["feature_encoder"] = enc_feats
+
+    fp = hf_model.feature_projection
+    params["proj_norm"] = {"scale": t2j(fp.layer_norm.weight),
+                           "bias": t2j(fp.layer_norm.bias)}
+    params["proj"] = {"kernel": t2j(fp.projection.weight).T,
+                      "bias": t2j(fp.projection.bias)}
+
+    pos = hf_model.encoder.pos_conv_embed.conv
+    # .weight materializes the weight-norm parameterization; grouped torch
+    # Conv1d weight (out, in/groups, k) → flax (k, in/groups, out).
+    with torch.no_grad():
+        pos_w = pos.weight
+    params["pos_conv"] = {"conv": {
+        "kernel": t2j(pos_w).transpose(2, 1, 0),
+        "bias": t2j(pos.bias),
+    }}
+
+    h, d = cfg.num_heads, cfg.hidden_dim
+    hd = d // h
+    layers = {}
+    for i, layer in enumerate(hf_model.encoder.layers):
+        att = layer.attention
+        def qkv(lin):
+            return {"kernel": t2j(lin.weight).T.reshape(d, h, hd),
+                    "bias": t2j(lin.bias).reshape(h, hd)}
+        layers[f"layer_{i}"] = {
+            "norm_attn": {"scale": t2j(layer.layer_norm.weight),
+                          "bias": t2j(layer.layer_norm.bias)},
+            "q": qkv(att.q_proj), "k": qkv(att.k_proj), "v": qkv(att.v_proj),
+            "out": {"kernel": t2j(att.out_proj.weight).T.reshape(h, hd, d),
+                    "bias": t2j(att.out_proj.bias)},
+            "norm_ffn": {"scale": t2j(layer.final_layer_norm.weight),
+                         "bias": t2j(layer.final_layer_norm.bias)},
+            "ffn_in": {"kernel": t2j(layer.feed_forward.intermediate_dense.weight).T,
+                       "bias": t2j(layer.feed_forward.intermediate_dense.bias)},
+            "ffn_out": {"kernel": t2j(layer.feed_forward.output_dense.weight).T,
+                        "bias": t2j(layer.feed_forward.output_dense.bias)},
+        }
+    params.update(layers)
+    params["final_norm"] = {"scale": t2j(hf_model.encoder.layer_norm.weight),
+                            "bias": t2j(hf_model.encoder.layer_norm.bias)}
+    return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Embedding front-end (the voice_extractor capability)
+# ---------------------------------------------------------------------------
+
+class AudioEmbedder:
+    """Batched waveform → L2-normalized (1024,) embeddings.
+
+    Waveforms are zero-mean/unit-var normalized per utterance (HF
+    ``do_normalize``), padded to 1 s buckets (bounded retraces on TPU), and
+    mean-pooled with a true length mask.  Clips longer than
+    ``cfg.chunk_duration_s`` are split, embedded, mean-pooled and
+    re-normalized (reference voice_extractor.py:72-95 semantics).
+    """
+
+    def __init__(self, cfg: Optional[Wav2Vec2Config] = None,
+                 params: Optional[dict] = None,
+                 params_path: Optional[str] = None):
+        cfg = cfg or Wav2Vec2Config()
+        self.cfg = cfg
+        self.model = Wav2Vec2Encoder(cfg)
+        if params is None and params_path:
+            from mmer_tpu.train.checkpoint import load_params_msgpack
+            target = self._seeded_params()
+            params = load_params_msgpack(params_path, target)
+        if params is None:
+            params = self._seeded_params()
+        self.params = params
+        self._apply = jax.jit(self.model.apply)
+
+    def _seeded_params(self) -> dict:
+        dummy = jnp.zeros((1, self.cfg.sample_rate), jnp.float32)
+        return self.model.init(
+            {"params": jax.random.PRNGKey(self.cfg.param_seed)}, dummy)
+
+    def _bucket_len(self, n: int) -> int:
+        step = self.cfg.sample_rate  # 1 s buckets
+        return max(step, -(-n // step) * step)
+
+    def _embed_padded(self, waves: np.ndarray, lengths: np.ndarray
+                      ) -> np.ndarray:
+        cfg = self.cfg
+        t_out = feat_extract_output_length(cfg, waves.shape[1])
+        frame_lens = np.asarray(
+            [feat_extract_output_length(cfg, int(l)) for l in lengths])
+        mask = np.arange(t_out)[None, :] >= frame_lens[:, None]
+        hidden = self._apply(self.params, jnp.asarray(waves),
+                             jnp.asarray(mask))
+        hidden = np.asarray(hidden, np.float32)
+        keep = (~mask)[:, :, None].astype(np.float32)
+        summed = (hidden * keep).sum(axis=1)
+        emb = summed / np.maximum(keep.sum(axis=1), 1.0)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        return emb / np.maximum(norm, 1e-12)
+
+    def embed_batch(self, waveforms: Sequence[np.ndarray]) -> np.ndarray:
+        """list of 1-D float waveforms (16 kHz) → (B, 1024) float32."""
+        cfg = self.cfg
+        chunk_samples = int(cfg.chunk_duration_s * cfg.sample_rate)
+
+        # Expand long clips into chunks, remembering ownership.
+        pieces: List[np.ndarray] = []
+        owners: List[int] = []
+        for bi, wave in enumerate(waveforms):
+            wave = np.asarray(wave, np.float32)
+            wave = (wave - wave.mean()) / np.sqrt(wave.var() + 1e-7)
+            for start in range(0, max(len(wave), 1), chunk_samples):
+                piece = wave[start:start + chunk_samples]
+                if len(piece) == 0:
+                    piece = np.zeros(1, np.float32)
+                pieces.append(piece)
+                owners.append(bi)
+
+        max_len = self._bucket_len(max(len(p) for p in pieces))
+        batch = np.zeros((len(pieces), max_len), np.float32)
+        lengths = np.zeros(len(pieces), np.int64)
+        for i, p in enumerate(pieces):
+            batch[i, :len(p)] = p
+            lengths[i] = len(p)
+        piece_embs = self._embed_padded(batch, lengths)
+
+        out = np.zeros((len(waveforms), cfg.hidden_dim), np.float32)
+        for bi in range(len(waveforms)):
+            mine = piece_embs[[i for i, o in enumerate(owners) if o == bi]]
+            emb = mine.mean(axis=0)
+            out[bi] = emb / np.maximum(np.linalg.norm(emb), 1e-12)
+        return out

@@ -1,0 +1,213 @@
+"""Offline feature extraction: videos → (T, 768) npy, audio → (1024,) npy.
+
+TPU-first redesign of the reference extractors:
+
+- The reference embeds one 32-frame chunk at a time with batch=1 under
+  no_grad (video_extractor.py:152-156).  Here chunks from MANY videos are
+  packed into fixed-size device batches (one compiled program, zero
+  retraces) and scattered back per video afterwards.
+- Host decode runs in a thread pool that prefetches ahead of the device, so
+  the TPU never waits on cv2 (SURVEY.md §7 "hard parts": host/device split).
+- ViViT params are the framework's single seeded init, persisted next to
+  the features so extract- and serve-time embeddings agree by construction
+  (the reference re-randomizes per process, video_extractor.py:184).
+
+CLI:
+    python -m mmer_tpu.preprocess.extract video --input DIR --output DIR
+    python -m mmer_tpu.preprocess.extract audio --input DIR --output DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures as cf
+import os
+import time
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmer_tpu.config import ViViTConfig, Wav2Vec2Config
+from mmer_tpu.core.artifacts import save_audio_features, save_video_features
+from mmer_tpu.preprocess.video import (feature_output_name, iter_video_files,
+                                       load_video_chunks)
+
+
+class VideoFeatureExtractor:
+    """Batched, jitted ViViT chunk embedder."""
+
+    def __init__(self, cfg: Optional[ViViTConfig] = None,
+                 device_batch: int = 8,
+                 params_path: Optional[str] = None,
+                 use_flash: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from mmer_tpu.models.vivit import init_vivit_params
+        from mmer_tpu.train.checkpoint import (load_params_msgpack,
+                                               save_params_msgpack)
+
+        self.cfg = cfg or ViViTConfig()
+        self.device_batch = device_batch
+        self._jnp = jnp
+        model, params = init_vivit_params(self.cfg, use_flash=use_flash)
+        if params_path:
+            if os.path.exists(params_path):
+                params = load_params_msgpack(params_path, params)
+            else:
+                save_params_msgpack(params_path, params)
+        self.params = params
+        self._apply = jax.jit(model.apply)
+
+    def embed_chunks(self, chunks: np.ndarray) -> np.ndarray:
+        """(N, F, H, W, C) → (N, 768); pads N to the device batch size so
+        every call hits the same compiled program."""
+        jnp = self._jnp
+        n = chunks.shape[0]
+        bs = self.device_batch
+        out: List[np.ndarray] = []
+        for start in range(0, n, bs):
+            block = chunks[start:start + bs]
+            if block.shape[0] < bs:
+                pad = np.repeat(block[-1:], bs - block.shape[0], axis=0)
+                block = np.concatenate([block, pad], axis=0)
+            feats = self._apply(self.params, jnp.asarray(block))
+            out.append(np.asarray(feats))
+        return np.concatenate(out)[:n]
+
+
+def extract_video_folder(input_dir: str, output_dir: str,
+                         extractor: Optional[VideoFeatureExtractor] = None,
+                         chunk_size: Optional[int] = None,
+                         decode_workers: int = 4,
+                         verbose: bool = True) -> int:
+    """Walk ``input_dir``, write one ``(num_chunks, 768)`` npy per video to
+    ``output_dir`` with the reference's artifact naming.  Decode is
+    pipelined ahead of the device; chunks are cross-video batched."""
+    extractor = extractor or VideoFeatureExtractor()
+    chunk_size = chunk_size or extractor.cfg.num_frames
+    paths = list(iter_video_files(input_dir))
+    count = 0
+    t0 = time.time()
+
+    size = tuple(extractor.cfg.image_size)
+    with cf.ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        decoded = pool.map(
+            lambda p: (p, load_video_chunks(p, chunk_size, size)), paths)
+
+        pending: List[Tuple[str, int]] = []   # (path, num_chunks)
+        buffer: List[np.ndarray] = []
+
+        def flush():
+            nonlocal count
+            if not pending:
+                return
+            all_chunks = np.concatenate(buffer, axis=0)
+            feats = extractor.embed_chunks(all_chunks)
+            offset = 0
+            for path, n_chunks in pending:
+                out_name = feature_output_name(path, input_dir)
+                save_video_features(os.path.join(output_dir, out_name),
+                                    feats[offset:offset + n_chunks])
+                offset += n_chunks
+                count += 1
+                if verbose:
+                    print(f"[{count}/{len(paths)}] {out_name}", flush=True)
+            pending.clear()
+            buffer.clear()
+
+        budget = max(extractor.device_batch * 4, 32)
+        for path, chunks in decoded:
+            if chunks is None:
+                if verbose:
+                    print(f"Failed to load video: {path}", flush=True)
+                continue
+            pending.append((path, chunks.shape[0]))
+            buffer.append(chunks)
+            if sum(c.shape[0] for c in buffer) >= budget:
+                flush()
+        flush()
+
+    if verbose:
+        dt = time.time() - t0
+        print(f"Finished: {count} videos in {dt:.1f}s "
+              f"({count / max(dt, 1e-9):.2f} clips/s)", flush=True)
+    return count
+
+
+def extract_audio_folder(input_dir: str, output_dir: str,
+                         cfg: Optional[Wav2Vec2Config] = None,
+                         batch_size: int = 8,
+                         verbose: bool = True) -> int:
+    """Audio twin of :func:`extract_video_folder` (reference
+    voice_extractor.py:53-146): decode → 16 kHz mono → Wav2Vec2 embed →
+    L2-normalized (1024,) float16 npy with dataset-specific renaming."""
+    from mmer_tpu.models.wav2vec2 import AudioEmbedder
+    from mmer_tpu.preprocess.audio import (audio_output_name,
+                                           iter_audio_files, load_waveform)
+
+    cfg = cfg or Wav2Vec2Config()
+    embedder = AudioEmbedder(cfg)
+    paths = list(iter_audio_files(input_dir))
+    count = 0
+    batch: List[Tuple[str, np.ndarray]] = []
+
+    def flush():
+        nonlocal count
+        if not batch:
+            return
+        embs = embedder.embed_batch([w for _, w in batch])
+        for (path, _), emb in zip(batch, embs):
+            name = audio_output_name(os.path.basename(path))
+            save_audio_features(os.path.join(output_dir, name), emb)
+            count += 1
+            if verbose:
+                print(f"[{count}/{len(paths)}] {name}", flush=True)
+        batch.clear()
+
+    for path in paths:
+        wave = load_waveform(path, cfg.sample_rate)
+        if wave is None:
+            if verbose:
+                print(f"Failed to load audio: {path}", flush=True)
+            continue
+        batch.append((path, wave))
+        if len(batch) >= batch_size:
+            flush()
+    flush()
+    if verbose:
+        print(f"Finished: {count} audio files.", flush=True)
+    return count
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Offline feature extraction (video → ViViT, audio → Wav2Vec2)")
+    sub = parser.add_subparsers(dest="modality", required=True)
+
+    pv = sub.add_parser("video", help="extract (T, 768) video features")
+    pv.add_argument("--input", required=True)
+    pv.add_argument("--output", required=True)
+    pv.add_argument("--chunk_size", type=int, default=32)
+    pv.add_argument("--device_batch", type=int, default=8)
+    pv.add_argument("--params", default=None,
+                    help="persisted ViViT params (created on first use)")
+
+    pa = sub.add_parser("audio", help="extract (1024,) audio embeddings")
+    pa.add_argument("--input", required=True)
+    pa.add_argument("--output", required=True)
+    pa.add_argument("--batch_size", type=int, default=8)
+
+    args = parser.parse_args(argv)
+    if args.modality == "video":
+        extractor = VideoFeatureExtractor(device_batch=args.device_batch,
+                                          params_path=args.params)
+        extract_video_folder(args.input, args.output, extractor,
+                             chunk_size=args.chunk_size)
+    else:
+        extract_audio_folder(args.input, args.output,
+                             batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,10 @@ if (os.environ.get("PALLAS_AXON_POOL_IPS")
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
     env["_MMER_TEST_REEXEC"] = "1"
+    # Silence XLA:CPU AOT-cache machine-feature canonicalization warnings
+    # (same-machine cache loads still compare feature strings from two
+    # different detection paths and log an ERROR line per load).
+    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     sys.stdout.flush()
     sys.stderr.flush()
     os.execvpe(sys.executable,
