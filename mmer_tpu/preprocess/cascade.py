@@ -1,0 +1,243 @@
+"""Viola-Jones Haar-cascade face detection, reimplemented from the XML.
+
+Why this exists: the reference detects faces with YOLOv11n-face downloaded
+from the HF hub (reference cremad_extract_bboxes.py:13) — unavailable in an
+offline deployment — and this image's OpenCV 5 dropped the
+``CascadeClassifier`` API while still shipping the trained cascade XMLs
+under ``/usr/share/opencv4/haarcascades``.  So the classic detector is
+reimplemented here from scratch: XML parse → integral images → vectorized
+multi-scale sliding-window evaluation with per-stage early rejection →
+rectangle grouping.  NumPy end-to-end; all windows of a scale are evaluated
+simultaneously (the per-window loop of classic implementations becomes
+boolean-masked array ops).
+
+Semantics follow the standard OpenCV evaluation rules for stump-based HAAR
+cascades: per-window variance normalization
+(``sqrt(E[x²] − E[x]²)`` over the window), feature sums scaled by the
+inverse window area, stump test ``feat·inv_area < thresh·vnorm``, stage sum
+vs stage threshold, and neighbor-count grouping.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+CASCADE_SEARCH_PATHS = (
+    "/usr/share/opencv4/haarcascades",
+    "/usr/local/share/opencv4/haarcascades",
+)
+
+
+def find_cascade_file(name: str = "haarcascade_frontalface_default.xml"
+                      ) -> Optional[str]:
+    for base in CASCADE_SEARCH_PATHS:
+        path = os.path.join(base, name)
+        if os.path.exists(path):
+            return path
+    try:
+        import cv2
+        path = os.path.join(getattr(cv2.data, "haarcascades", ""), name)
+        if path and os.path.exists(path):
+            return path
+    except Exception:
+        pass
+    return None
+
+
+@dataclass
+class _Stage:
+    threshold: float
+    # stump arrays, one row per weak classifier
+    feature_idx: np.ndarray    # (W,) int32
+    node_thresh: np.ndarray    # (W,) float32
+    left_val: np.ndarray       # (W,) float32
+    right_val: np.ndarray      # (W,) float32
+
+
+class HaarCascade:
+    """Parsed stump-based cascade + vectorized multi-scale detector."""
+
+    def __init__(self, xml_path: str):
+        root = ET.parse(xml_path).getroot()
+        cascade = root.find("cascade")
+        if cascade is None:
+            raise ValueError(f"{xml_path}: not a new-format cascade file")
+        if (cascade.findtext("featureType") or "").strip() != "HAAR":
+            raise ValueError("only HAAR cascades are supported")
+        self.win_w = int(cascade.findtext("width"))
+        self.win_h = int(cascade.findtext("height"))
+
+        # Features: up to 3 weighted rects each → dense (F, 3, 5) array of
+        # (x, y, w, h, weight); unused slots have weight 0.
+        feats = []
+        for feat in cascade.find("features"):
+            rects = []
+            for r in feat.find("rects"):
+                vals = r.text.split()
+                rects.append([int(vals[0]), int(vals[1]), int(vals[2]),
+                              int(vals[3]), float(vals[4])])
+            if feat.findtext("tilted", "0").strip() == "1":
+                raise ValueError("tilted features are not supported")
+            while len(rects) < 3:
+                rects.append([0, 0, 0, 0, 0.0])
+            feats.append(rects[:3])
+        self.features = np.asarray(feats, np.float32)        # (F, 3, 5)
+
+        self.stages: List[_Stage] = []
+        for stage in cascade.find("stages"):
+            f_idx, n_thr, l_val, r_val = [], [], [], []
+            for weak in stage.find("weakClassifiers"):
+                nodes = weak.findtext("internalNodes").split()
+                leaves = weak.findtext("leafValues").split()
+                # stump: [left_child, right_child, featureIdx, threshold]
+                if len(nodes) != 4:
+                    raise ValueError("only stump-based cascades supported")
+                f_idx.append(int(nodes[2]))
+                n_thr.append(float(nodes[3]))
+                l_val.append(float(leaves[0]))
+                r_val.append(float(leaves[1]))
+            self.stages.append(_Stage(
+                threshold=float(stage.findtext("stageThreshold")),
+                feature_idx=np.asarray(f_idx, np.int32),
+                node_thresh=np.asarray(n_thr, np.float32),
+                left_val=np.asarray(l_val, np.float32),
+                right_val=np.asarray(r_val, np.float32)))
+
+    # ------------------------------------------------------------------
+    def _detect_single_scale(self, sat: np.ndarray, sat2: np.ndarray,
+                             stride: int) -> np.ndarray:
+        """All surviving window origins at one scale.
+
+        sat/sat2: (H+1, W+1) integral images of the scaled gray frame.
+        Returns (N, 2) array of (x, y) origins in scaled coordinates.
+        """
+        h = sat.shape[0] - 1 - self.win_h
+        w = sat.shape[1] - 1 - self.win_w
+        if h <= 0 or w <= 0:
+            return np.zeros((0, 2), np.int64)
+        ys, xs = np.mgrid[0:h:stride, 0:w:stride]
+        ys = ys.ravel()
+        xs = xs.ravel()
+
+        def window_sum(img, x0, y0, ww, hh):
+            return (img[y0 + hh, x0 + ww] - img[y0, x0 + ww]
+                    - img[y0 + hh, x0] + img[y0, x0])
+
+        # OpenCV's exact normalization (cascadedetect HaarEvaluator): raw
+        # sums over the 1-px-inset normrect, vnf = sqrt(area·Σx² − (Σx)²),
+        # stump test on RAW feature sums:  s < thresh · vnf.
+        norm_area = (self.win_w - 2) * (self.win_h - 2)
+        total = window_sum(sat, xs + 1, ys + 1, self.win_w - 2,
+                           self.win_h - 2)
+        sq = window_sum(sat2, xs + 1, ys + 1, self.win_w - 2,
+                        self.win_h - 2)
+        nf = norm_area * sq - total * total
+        vnorm = np.where(nf > 0, np.sqrt(np.maximum(nf, 0.0)), 1.0)
+
+        alive = np.ones(len(xs), dtype=bool)
+        for stage in self.stages:
+            ax, ay, av = xs[alive], ys[alive], vnorm[alive]
+            n_alive = len(ax)
+            if n_alive == 0:
+                return np.zeros((0, 2), np.int64)
+            rects = self.features[stage.feature_idx]      # (W, 3, 5)
+            n_weak = rects.shape[0]
+            rx = rects[:, :, 0].astype(np.int64)
+            ry = rects[:, :, 1].astype(np.int64)
+            rw = rects[:, :, 2].astype(np.int64)
+            rh = rects[:, :, 3].astype(np.int64)
+            rweight = rects[:, :, 4].astype(np.float64)
+
+            # All stumps of the stage at once, chunked over windows so the
+            # (chunk, W, 3) gather stays bounded.
+            stage_sum = np.empty(n_alive, np.float64)
+            chunk = max(1, int(4e6 // max(n_weak * 3, 1)))
+            for s in range(0, n_alive, chunk):
+                cx = ax[s:s + chunk, None, None]
+                cy = ay[s:s + chunk, None, None]
+                x0, y0 = cx + rx[None], cy + ry[None]
+                sums = (sat[y0 + rh[None], x0 + rw[None]]
+                        - sat[y0, x0 + rw[None]]
+                        - sat[y0 + rh[None], x0] + sat[y0, x0])
+                feat = np.einsum("nwr,wr->nw", sums, rweight)
+                passed = feat < (stage.node_thresh[None, :]
+                                 * av[s:s + chunk, None])
+                stage_sum[s:s + chunk] = np.where(
+                    passed, stage.left_val[None, :],
+                    stage.right_val[None, :]).sum(axis=1)
+            alive[np.flatnonzero(alive)[stage_sum < stage.threshold]] = False
+        return np.stack([xs[alive], ys[alive]], axis=1)
+
+    def detect(self, gray: np.ndarray, scale_factor: float = 1.2,
+               min_neighbors: int = 3, stride: int = 2,
+               min_size: int = 48) -> List[Tuple[float, float, float, float, float]]:
+        """→ [(x1, y1, x2, y2, conf)], conf from the neighbor count."""
+        import cv2
+
+        gray = np.ascontiguousarray(gray, np.float64)
+        h, w = gray.shape
+        raw: List[Tuple[int, int, int]] = []   # (x, y, size) original coords
+
+        scale = max(min_size / self.win_w, 1.0)
+        while self.win_w * scale <= min(h, w):
+            sw, sh = int(round(w / scale)), int(round(h / scale))
+            scaled = cv2.resize(gray, (sw, sh), interpolation=cv2.INTER_AREA)
+            sat = np.zeros((sh + 1, sw + 1))
+            sat2 = np.zeros((sh + 1, sw + 1))
+            np.cumsum(np.cumsum(scaled, 0), 1, out=sat[1:, 1:])
+            np.cumsum(np.cumsum(scaled * scaled, 0), 1, out=sat2[1:, 1:])
+            for x, y in self._detect_single_scale(sat, sat2, stride):
+                raw.append((int(round(x * scale)), int(round(y * scale)),
+                            int(round(self.win_w * scale))))
+            scale *= scale_factor
+
+        return _group_rectangles(raw, min_neighbors)
+
+
+def _group_rectangles(raw: List[Tuple[int, int, int]], min_neighbors: int,
+                      eps: float = 0.2
+                      ) -> List[Tuple[float, float, float, float, float]]:
+    """Cluster near-identical detections; keep clusters with enough
+    neighbors (cv2.groupRectangles semantics, union-find over the
+    similarity relation)."""
+    n = len(raw)
+    if n == 0:
+        return []
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    arr = np.asarray(raw, np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            delta = eps * (min(arr[i, 2], arr[j, 2]))
+            if (abs(arr[i, 0] - arr[j, 0]) <= delta
+                    and abs(arr[i, 1] - arr[j, 1]) <= delta
+                    and abs(arr[i, 2] - arr[j, 2]) <= 2 * delta):
+                pi, pj = find(i), find(j)
+                if pi != pj:
+                    parent[pi] = pj
+
+    clusters: dict = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+
+    out = []
+    for members in clusters.values():
+        if len(members) < max(min_neighbors, 1):
+            continue
+        m = arr[members].mean(axis=0)
+        conf = 1.0 - 1.0 / (1.0 + len(members))
+        out.append((float(m[0]), float(m[1]),
+                    float(m[0] + m[2]), float(m[1] + m[2]), conf))
+    out.sort(key=lambda r: -r[4])
+    return out

@@ -1,0 +1,279 @@
+"""Face detection, bbox artifacts, and face-crop video writing.
+
+Capability parity with the reference's four prep scripts
+(cremad_extract_bboxes.py, ravdess_extract_bboxes.py,
+cremad_bbox_converter.py, ravdess_bbox_converter.py):
+
+- detect a face per frame, keep detections above a confidence threshold
+  (0.5, cremad_extract_bboxes.py:39), write ``frame,x1,y1,x2,y2,conf``
+  lines to ``<name>_bboxes.txt`` (cremad_extract_bboxes.py:48-56);
+- crop each frame to its bbox, resize to 224², write ``<name>_faces.mp4``
+  (cremad_bbox_converter.py:11-61).
+
+Detector backends: the reference uses YOLOv11n-face pulled from the HF hub
+(cremad_extract_bboxes.py:13), which needs network + ultralytics; that
+backend is gated here (:class:`YoloFaceDetector`).  The always-available
+default is OpenCV's bundled Haar cascade (:class:`HaarFaceDetector`) —
+same bbox artifact contract, no downloads.
+
+TPU-first: cropping+resizing is NOT done per frame on the host (the
+reference loops cv2 crops in Python, cremad_bbox_converter.py:29-49); whole
+frame batches go through the jitted gather/matmul kernel in ops/image.py.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+BBox = Tuple[int, float, float, float, float, float]  # frame,x1,y1,x2,y2,conf
+
+
+class HaarFaceDetector:
+    """Haar-cascade face detector using the in-repo Viola-Jones evaluator
+    (preprocess/cascade.py) over the system-installed cascade XML —
+    offline-safe, no OpenCV objdetect dependency.  Confidence is a monotone
+    function of the detection's neighbor count (Haar has no calibrated
+    score)."""
+
+    def __init__(self, scale_factor: float = 1.2, min_neighbors: int = 3,
+                 cascade_path: Optional[str] = None, min_size: int = 48):
+        from mmer_tpu.preprocess.cascade import HaarCascade, find_cascade_file
+
+        path = cascade_path or find_cascade_file()
+        if path is None:
+            raise RuntimeError("no haarcascade XML found on this system")
+        self._cascade = HaarCascade(path)
+        self.scale_factor = scale_factor
+        self.min_neighbors = min_neighbors
+        self.min_size = min_size
+
+    def detect(self, frame_rgb: np.ndarray) -> List[Tuple[float, float, float, float, float]]:
+        """→ [(x1, y1, x2, y2, conf)], highest confidence first."""
+        import cv2
+
+        gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
+        return self._cascade.detect(
+            gray, scale_factor=self.scale_factor,
+            min_neighbors=self.min_neighbors, min_size=self.min_size)
+
+
+class YoloFaceDetector:
+    """YOLO face detector (the reference's backend,
+    cremad_extract_bboxes.py:12-17).  Requires ultralytics + a local weights
+    file; raises RuntimeError otherwise."""
+
+    def __init__(self, weights_path: str, conf: float = 0.5):
+        try:
+            from ultralytics import YOLO
+        except ImportError as e:
+            raise RuntimeError(
+                "ultralytics is not installed; use HaarFaceDetector") from e
+        if not os.path.exists(weights_path):
+            raise RuntimeError(f"YOLO weights not found: {weights_path}")
+        self._model = YOLO(weights_path)
+        self.conf = conf
+
+    def detect(self, frame_rgb: np.ndarray):
+        results = self._model(frame_rgb, verbose=False)
+        out = []
+        for r in results:
+            for box in r.boxes:
+                conf = float(box.conf[0])
+                x1, y1, x2, y2 = [float(v) for v in box.xyxy[0]]
+                out.append((x1, y1, x2, y2, conf))
+        out.sort(key=lambda r: -r[4])
+        return out
+
+
+def default_detector():
+    return HaarFaceDetector()
+
+
+# ---------------------------------------------------------------------------
+# bbox artifact contract
+# ---------------------------------------------------------------------------
+
+def extract_video_bboxes(video_path: str, detector=None,
+                         conf_threshold: float = 0.5) -> List[BBox]:
+    """Per-frame detection → [(frame, x1, y1, x2, y2, conf)], best box per
+    frame above threshold (reference keeps every detection ≥ conf;
+    cremad_extract_bboxes.py:39-47)."""
+    import cv2
+
+    detector = detector or default_detector()
+    cap = cv2.VideoCapture(video_path)
+    rows: List[BBox] = []
+    frame_idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        for (x1, y1, x2, y2, conf) in detector.detect(rgb):
+            if conf >= conf_threshold:
+                rows.append((frame_idx, x1, y1, x2, y2, conf))
+        frame_idx += 1
+    cap.release()
+    return rows
+
+
+def write_bboxes_txt(path: str, rows: Sequence[BBox]) -> None:
+    """``frame,x1,y1,x2,y2,conf`` lines (cremad_extract_bboxes.py:48-56)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for frame, x1, y1, x2, y2, conf in rows:
+            f.write(f"{frame},{x1:.1f},{y1:.1f},{x2:.1f},{y2:.1f},{conf:.4f}\n")
+
+
+def read_bboxes_txt(path: str) -> List[BBox]:
+    rows: List[BBox] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(",")
+            if len(parts) != 6:
+                continue
+            rows.append((int(float(parts[0])), *[float(p) for p in parts[1:]]))
+    return rows
+
+
+def process_folder_bboxes(input_dir: str, output_dir: str, detector=None,
+                          conf_threshold: float = 0.5,
+                          verbose: bool = True) -> int:
+    """bbox-extraction twin of the reference's cremad/ravdess scripts: walks
+    ``input_dir`` (flat or actor subdirs), one ``<name>_bboxes.txt`` per
+    video."""
+    from mmer_tpu.preprocess.video import iter_video_files
+
+    detector = detector or default_detector()
+    count = 0
+    for video_path in iter_video_files(input_dir):
+        rows = extract_video_bboxes(video_path, detector, conf_threshold)
+        stem = os.path.splitext(os.path.basename(video_path))[0]
+        out = os.path.join(output_dir, f"{stem}_bboxes.txt")
+        write_bboxes_txt(out, rows)
+        count += 1
+        if verbose:
+            print(f"[{count}] {out} ({len(rows)} boxes)", flush=True)
+    return count
+
+
+# ---------------------------------------------------------------------------
+# face-crop video writer (device-side crop+resize)
+# ---------------------------------------------------------------------------
+
+def best_bbox_per_frame(rows: Sequence[BBox]) -> dict:
+    """frame → highest-confidence (x1, y1, x2, y2)."""
+    best: dict = {}
+    for frame, x1, y1, x2, y2, conf in rows:
+        if frame not in best or conf > best[frame][4]:
+            best[frame] = (x1, y1, x2, y2, conf)
+    return {f: v[:4] for f, v in best.items()}
+
+
+def write_face_video(video_path: str, rows: Sequence[BBox], out_path: str,
+                     size: Tuple[int, int] = (224, 224),
+                     batch: int = 64) -> bool:
+    """Crop every frame to its (best) face bbox and write a ``_faces`` video
+    (cremad_bbox_converter.py capability).  Frames with no detection fall
+    back to the last-seen bbox, else the full frame (reference behavior:
+    crop only flagged frames).  Crop+resize runs on device in batches."""
+    import cv2
+
+    from mmer_tpu.ops.image import crop_resize_batch
+
+    per_frame = best_bbox_per_frame(rows)
+    cap = cv2.VideoCapture(video_path)
+    if not cap.isOpened():
+        return False
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             fps, size)
+
+    frames: List[np.ndarray] = []
+    boxes: List[Tuple[float, float, float, float]] = []
+    last_box: Optional[Tuple[float, float, float, float]] = None
+    frame_idx = 0
+
+    def flush():
+        if not frames:
+            return
+        crops = np.asarray(crop_resize_batch(
+            np.stack(frames).astype(np.float32),
+            np.asarray(boxes, np.float32), out_hw=size))
+        for crop in crops:
+            writer.write(np.clip(crop, 0, 255).astype(np.uint8))
+        frames.clear()
+        boxes.clear()
+
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        h, w = frame.shape[:2]
+        box = per_frame.get(frame_idx, last_box) or (0.0, 0.0, float(w),
+                                                     float(h))
+        last_box = box
+        frames.append(frame)          # BGR throughout; writer expects BGR
+        boxes.append(box)
+        if len(frames) >= batch:
+            flush()
+        frame_idx += 1
+    flush()
+    cap.release()
+    writer.release()
+    return frame_idx > 0
+
+
+def convert_folder_faces(video_dir: str, bbox_dir: str, output_dir: str,
+                         size: Tuple[int, int] = (224, 224),
+                         verbose: bool = True) -> int:
+    """Folder twin of the reference's bbox converters: for each video with a
+    ``<stem>_bboxes.txt``, write ``<stem>_faces.mp4``."""
+    from mmer_tpu.preprocess.video import iter_video_files
+
+    count = 0
+    for video_path in iter_video_files(video_dir):
+        stem = os.path.splitext(os.path.basename(video_path))[0]
+        bbox_path = os.path.join(bbox_dir, f"{stem}_bboxes.txt")
+        if not os.path.exists(bbox_path):
+            continue
+        out = os.path.join(output_dir, f"{stem}_faces.mp4")
+        if write_face_video(video_path, read_bboxes_txt(bbox_path), out, size):
+            count += 1
+            if verbose:
+                print(f"[{count}] {out}", flush=True)
+    return count
+
+
+# ---------------------------------------------------------------------------
+# serving-side sequence grouping
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FaceSequence:
+    frames: List[int]          # frame indices with detections
+    bboxes: List[Tuple[float, float, float, float]]
+
+
+def group_face_sequences(detections: Sequence[BBox], max_delay: int = 10,
+                         max_frames_per_sequence: int = 10000
+                         ) -> List[FaceSequence]:
+    """Group detected-face frames into sequences, tolerating gaps up to
+    ``max_delay`` frames (reference get_face_sequences,
+    back-end/app/libs/inference.py:52-100)."""
+    per_frame = best_bbox_per_frame(detections)
+    seqs: List[FaceSequence] = []
+    cur: Optional[FaceSequence] = None
+    for frame in sorted(per_frame):
+        if (cur is None or frame - cur.frames[-1] > max_delay
+                or len(cur.frames) >= max_frames_per_sequence):
+            cur = FaceSequence(frames=[], bboxes=[])
+            seqs.append(cur)
+        cur.frames.append(frame)
+        cur.bboxes.append(per_frame[frame])
+    return seqs
