@@ -1,0 +1,210 @@
+"""HTTP API with the reference's route/response contract, stdlib-only.
+
+Routes (reference back-end/app/main.py, routers/ping.py, routers/infer.py):
+- ``GET /ping``    → ``{"message": "pong"}``
+- ``GET /health``  → ``{"status": "ok"}``
+- ``POST /infer/?subchunk_size=32&window_size=5&explain=false`` with a
+  multipart ``file`` field → ``{"bounding_box": [...], "inference": [...]}``;
+  500 + ``{"detail": ...}`` on processing errors.
+
+Why not FastAPI: this deployment image has no fastapi/uvicorn/starlette, so
+the server is a threaded stdlib ``http.server`` with a small multipart
+parser — zero dependencies, same wire contract (CORS headers included for
+the dev frontend origins, main.py:15-21).  If FastAPI is available in the
+target environment, ``build_fastapi_app`` returns the equivalent ASGI app.
+
+TPU note: the engine serializes device work with a lock — JAX dispatch is
+thread-safe but interleaving large inference batches from concurrent
+uploads only thrashes HBM; requests queue instead (uvicorn's worker model
+in the reference behaves the same way per process, start.sh:14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+from mmer_tpu.serve.engine import InferenceEngine
+
+CORS_ORIGINS = {"http://localhost:5173", "http://localhost:3000"}
+
+
+def parse_multipart(body: bytes, content_type: str) -> Dict[str, Tuple[str, bytes]]:
+    """Minimal multipart/form-data parser → {field: (filename, payload)}.
+
+    Python 3.13 removed the ``cgi`` module; this covers the subset the
+    ``/infer/`` route needs (opaque binary file fields).
+    """
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart boundary missing")
+    boundary = m.group(1).encode()
+    out: Dict[str, Tuple[str, bytes]] = {}
+    for part in body.split(b"--" + boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        header_blob, payload = part.split(b"\r\n\r\n", 1)
+        headers = header_blob.decode("utf-8", "replace")
+        name_m = re.search(r'name="([^"]*)"', headers)
+        if not name_m:
+            continue
+        file_m = re.search(r'filename="([^"]*)"', headers)
+        out[name_m.group(1)] = (file_m.group(1) if file_m else "", payload)
+    return out
+
+
+def _query_bool(q: Dict, key: str, default: bool = False) -> bool:
+    if key not in q:
+        return default
+    return q[key][0].lower() in ("1", "true", "yes", "on")
+
+
+def make_handler(engine: InferenceEngine):
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "mmer_tpu/0.1"
+
+        def _send_json(self, code: int, payload: Dict) -> None:
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            origin = self.headers.get("Origin", "")
+            if origin in CORS_ORIGINS:
+                self.send_header("Access-Control-Allow-Origin", origin)
+                self.send_header("Access-Control-Allow-Credentials", "true")
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_OPTIONS(self):  # CORS preflight
+            self.send_response(204)
+            origin = self.headers.get("Origin", "")
+            if origin in CORS_ORIGINS:
+                self.send_header("Access-Control-Allow-Origin", origin)
+                self.send_header("Access-Control-Allow-Credentials", "true")
+            self.send_header("Access-Control-Allow-Methods", "*")
+            self.send_header("Access-Control-Allow-Headers", "*")
+            self.end_headers()
+
+        def do_GET(self):
+            path = urlparse(self.path).path.rstrip("/") or "/"
+            if path == "/ping":
+                self._send_json(200, {"message": "pong"})
+            elif path == "/health":
+                self._send_json(200, {"status": "ok"})
+            else:
+                self._send_json(404, {"detail": "Not Found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path.rstrip("/") != "/infer":
+                self._send_json(404, {"detail": "Not Found"})
+                return
+            q = parse_qs(url.query)
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = self.rfile.read(length)
+                fields = parse_multipart(
+                    body, self.headers.get("Content-Type", ""))
+                if "file" not in fields:
+                    self._send_json(422, {"detail": "missing 'file' field"})
+                    return
+                filename, payload = fields["file"]
+                print(f"Received /infer request for file: {filename}",
+                      flush=True)
+                with lock:
+                    results = engine.infer_file_bytes(
+                        payload, filename,
+                        subchunk_size=int(q.get("subchunk_size", ["32"])[0]),
+                        window_size=int(q.get("window_size", ["5"])[0]),
+                        explain=_query_bool(q, "explain"))
+                print(f"/infer finished; bounding_box="
+                      f"{len(results['bounding_box'])}, "
+                      f"inference={len(results['inference'])}", flush=True)
+                self._send_json(200, results)
+            except Exception as e:
+                traceback.print_exc()
+                self._send_json(500, {"detail": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet default access log
+            pass
+
+    return Handler
+
+
+def serve(engine: Optional[InferenceEngine] = None, host: str = "0.0.0.0",
+          port: int = 8000) -> ThreadingHTTPServer:
+    """Start the API server (blocking; returns the server if shut down)."""
+    engine = engine or InferenceEngine()
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    print(f"mmer_tpu API listening on {host}:{port}", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return httpd
+
+
+def build_fastapi_app(engine: Optional[InferenceEngine] = None):
+    """Equivalent FastAPI app for environments that have it (gated)."""
+    from fastapi import FastAPI, File, HTTPException, UploadFile
+    from fastapi.middleware.cors import CORSMiddleware
+    from fastapi.responses import JSONResponse
+
+    engine = engine or InferenceEngine()
+    app = FastAPI(title="Multi-Modal Emotion Recognition API (TPU)",
+                  version="0.1.0")
+    app.add_middleware(CORSMiddleware, allow_origins=list(CORS_ORIGINS),
+                       allow_credentials=True, allow_methods=["*"],
+                       allow_headers=["*"])
+
+    @app.get("/ping")
+    async def ping():
+        return {"message": "pong"}
+
+    @app.get("/health")
+    async def health():
+        return {"status": "ok"}
+
+    @app.post("/infer/", status_code=200)
+    async def infer(file: UploadFile = File(...), subchunk_size: int = 32,
+                    window_size: int = 5, explain: bool = False):
+        try:
+            data = await file.read()
+            results = engine.infer_file_bytes(
+                data, file.filename or "upload.mp4",
+                subchunk_size=subchunk_size, window_size=window_size,
+                explain=explain)
+        except Exception as e:
+            raise HTTPException(status_code=500, detail=str(e))
+        return JSONResponse(content=results)
+
+    return app
+
+
+def main():
+    parser = argparse.ArgumentParser(description="mmer_tpu serving API")
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--fusion_params", default=None)
+    parser.add_argument("--vivit_params", default=None)
+    parser.add_argument("--wav_params", default=None)
+    args = parser.parse_args()
+    engine = InferenceEngine(fusion_params_path=args.fusion_params,
+                             vivit_params_path=args.vivit_params,
+                             wav_params_path=args.wav_params)
+    serve(engine, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

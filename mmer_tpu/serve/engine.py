@@ -1,0 +1,275 @@
+"""Video → per-window emotion inference (the serving capability centerpiece).
+
+Reference behavior (back-end/app/libs/inference.py:356-524): detect a face
+per frame, group face frames into gap-tolerant sequences, crop+resize each
+frame, split into 32-frame subchunks, slide a stride-1 window of up to 5
+subchunks, embed window audio + per-subchunk video, classify with the
+fusion model, and emit ``{"bounding_box": [...], "inference": [...]}`` with
+optional IG feature importances.
+
+TPU-first rewrites of the reference's hot spots (SURVEY.md §3.4):
+- per-subchunk ViViT features are computed ONCE and windows slide over the
+  cached embeddings — the reference re-embeds every subchunk up to
+  window_size times (inference.py:482-486);
+- frame crops run batched on device (ops/image.py) instead of per-frame
+  host cv2 calls (inference.py:104-144);
+- the audio track is decoded once and windows slice the waveform — the
+  reference spawns 2·W ffmpeg subprocesses per window (inference.py:413-467);
+- windows are batched through the fusion model grouped by token count (so
+  the audio token's position matches the reference's unpadded forward).
+
+Checkpoint semantics fixed (documented): the reference serves a fusion
+model whose pinned checkpoint fails to load (pos_embed 6 vs 57 shape
+mismatch, caught and *ignored* — it silently serves random weights,
+inference.py:236-265).  Here ``max_seq_len`` follows the trained checkpoint
+and ``window_size`` is clamped to fit, loudly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mmer_tpu.config import LABELS, ModelConfig, ViViTConfig, Wav2Vec2Config
+
+
+class InferenceEngine:
+    """Lazy-loading, jit-caching engine shared by the HTTP app and tests."""
+
+    def __init__(self,
+                 model_cfg: Optional[ModelConfig] = None,
+                 vivit_cfg: Optional[ViViTConfig] = None,
+                 wav_cfg: Optional[Wav2Vec2Config] = None,
+                 fusion_params_path: Optional[str] = None,
+                 vivit_params_path: Optional[str] = None,
+                 wav_params_path: Optional[str] = None,
+                 detector=None,
+                 norm_stats: Optional[dict] = None,
+                 labels: Sequence[str] = LABELS):
+        self.model_cfg = model_cfg or ModelConfig()
+        self.vivit_cfg = vivit_cfg or ViViTConfig()
+        self.wav_cfg = wav_cfg or Wav2Vec2Config()
+        self.fusion_params_path = fusion_params_path
+        self.vivit_params_path = vivit_params_path
+        self.wav_params_path = wav_params_path
+        self.labels = list(labels)
+        self.norm_stats = norm_stats or {}
+        self._detector = detector
+        self._video_extractor = None
+        self._audio_embedder = None
+        self._fusion = None          # (model, params, jitted apply)
+
+    # -- lazy singletons (reference get_*_model, inference.py:39-265) -----
+    @property
+    def detector(self):
+        if self._detector is None:
+            from mmer_tpu.preprocess.faces import default_detector
+            self._detector = default_detector()
+        return self._detector
+
+    @property
+    def video_extractor(self):
+        if self._video_extractor is None:
+            from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+            self._video_extractor = VideoFeatureExtractor(
+                self.vivit_cfg, params_path=self.vivit_params_path)
+        return self._video_extractor
+
+    @property
+    def audio_embedder(self):
+        if self._audio_embedder is None:
+            from mmer_tpu.models.wav2vec2 import AudioEmbedder
+            self._audio_embedder = AudioEmbedder(
+                self.wav_cfg, params_path=self.wav_params_path)
+        return self._audio_embedder
+
+    @property
+    def fusion(self):
+        if self._fusion is None:
+            import jax
+
+            from mmer_tpu.models.fusion import MultimodalEmotionModel
+            from mmer_tpu.train.checkpoint import load_params_msgpack
+
+            model = MultimodalEmotionModel(self.model_cfg)
+            rng = jax.random.PRNGKey(0)
+            import jax.numpy as jnp
+            t = self.model_cfg.max_seq_len - 1
+            params = model.init({"params": rng},
+                                jnp.zeros((1, t, self.model_cfg.video_dim)),
+                                jnp.zeros((1, self.model_cfg.audio_dim)),
+                                jnp.zeros((1, t), bool))
+            if self.fusion_params_path and os.path.exists(
+                    self.fusion_params_path):
+                params = load_params_msgpack(self.fusion_params_path, params)
+            elif self.fusion_params_path:
+                raise FileNotFoundError(
+                    f"fusion checkpoint not found: {self.fusion_params_path}"
+                )  # loud, unlike the reference's silent random-weight serve
+            apply = jax.jit(model.apply, static_argnames=("train",
+                                                          "return_attn"))
+            self._fusion = (model, params, apply)
+        return self._fusion
+
+    # ------------------------------------------------------------------
+    def _normalize(self, video_feats: np.ndarray, audio_feats: np.ndarray):
+        """Apply training-time global z-score stats when available."""
+        vm, vs = self.norm_stats.get("video_mean"), self.norm_stats.get("video_std")
+        am, as_ = self.norm_stats.get("audio_mean"), self.norm_stats.get("audio_std")
+        if vm is not None:
+            video_feats = (video_feats - vm) / vs
+        if am is not None:
+            audio_feats = (audio_feats - am) / as_
+        return video_feats, audio_feats
+
+    def infer_video_file(self, video_path: str, subchunk_size: int = 32,
+                         window_size: int = 5, explain: bool = False) -> Dict:
+        """Reference ``infer_video_file`` contract (inference.py:356-524)."""
+        import cv2
+
+        from mmer_tpu.ops.image import crop_resize_batch
+        from mmer_tpu.preprocess.audio import extract_audio_track
+        from mmer_tpu.preprocess.faces import group_face_sequences
+        from mmer_tpu.preprocess.video import frames_to_chunks
+
+        max_tokens = self.model_cfg.max_seq_len - 1
+        if window_size > max_tokens:
+            print(f"window_size {window_size} exceeds the fusion model's "
+                  f"{max_tokens} video slots; clamping", flush=True)
+            window_size = max_tokens
+
+        # 1) decode + per-frame detection -------------------------------
+        cap = cv2.VideoCapture(video_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        frames: List[np.ndarray] = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        cap.release()
+        if not frames:
+            return {"bounding_box": [], "inference": []}
+
+        detections = []       # (frame, x1, y1, x2, y2, conf)
+        bounding_box = []
+        for idx, frame in enumerate(frames):
+            for (x1, y1, x2, y2, conf) in self.detector.detect(frame):
+                detections.append((idx, x1, y1, x2, y2, conf))
+                bounding_box.append({
+                    "frame": idx, "x1": float(x1), "y1": float(y1),
+                    "x2": float(x2), "y2": float(y2),
+                    "confidence": float(conf)})
+
+        sequences = group_face_sequences(detections, max_delay=10)
+
+        # Audio track decoded ONCE (None without ffmpeg → zero embeddings,
+        # the reference's no-audio fallback, inference.py:471-473).
+        waveform = extract_audio_track(video_path,
+                                       self.wav_cfg.sample_rate)
+
+        inference: List[Dict] = []
+        size = tuple(self.vivit_cfg.image_size)
+
+        for seq in sequences:
+            # 2) device-side crop+resize of the sequence's frames ---------
+            seq_frames = np.stack([frames[f] for f in seq.frames]
+                                  ).astype(np.float32)
+            bboxes = np.asarray(seq.bboxes, np.float32)
+            crops = np.asarray(crop_resize_batch(seq_frames, bboxes,
+                                                 out_hw=size)) / 255.0
+
+            # 3) subchunks + ONE batched ViViT pass ----------------------
+            chunks = frames_to_chunks((crops * 255).astype(np.uint8),
+                                      subchunk_size)
+            n_sub = chunks.shape[0]
+            sub_feats = self.video_extractor.embed_chunks(chunks)  # (n,768)
+
+            # 4) per-window audio slices, embedded in one batch ----------
+            win_lens = [min(window_size, n_sub - s) for s in range(n_sub)]
+            audio_waves = []
+            if waveform is not None:
+                sr = self.wav_cfg.sample_rate
+                for s, wl in enumerate(win_lens):
+                    f_lo = seq.frames[min(s * subchunk_size,
+                                          len(seq.frames) - 1)]
+                    last = min((s + wl) * subchunk_size, len(seq.frames)) - 1
+                    f_hi = seq.frames[last]
+                    lo = int(f_lo / fps * sr)
+                    hi = int((f_hi + 1) / fps * sr)
+                    piece = waveform[lo:max(hi, lo + 1)]
+                    audio_waves.append(piece if len(piece) else
+                                       np.zeros(1, np.float32))
+                audio_embs = self.audio_embedder.embed_batch(audio_waves)
+            else:
+                audio_embs = np.zeros((n_sub, self.model_cfg.audio_dim),
+                                      np.float32)
+
+            # 5) windows batched by token count --------------------------
+            model, params, apply = self.fusion
+            by_len: Dict[int, List[int]] = {}
+            for s, wl in enumerate(win_lens):
+                by_len.setdefault(wl, []).append(s)
+
+            probs_all = np.zeros((n_sub, len(self.labels)), np.float32)
+            imp_all: Dict[int, Dict] = {}
+            for wl, starts in by_len.items():
+                video_w = np.stack([sub_feats[s:s + wl] for s in starts])
+                audio_w = audio_embs[starts]
+                video_w, audio_w = self._normalize(video_w, audio_w)
+                mask = np.zeros((len(starts), wl), bool)
+                probs, _, _ = apply(params, video_w, audio_w, mask)
+                probs_all[starts] = np.asarray(probs)
+
+                if explain:
+                    from mmer_tpu.interpret import (aggregate_importances,
+                                                    compute_attributions)
+
+                    def logits_fn(p, v, a, m):
+                        _, logits, _ = apply(p, v, a, m)
+                        return logits
+
+                    av, aa = compute_attributions(logits_fn, params,
+                                                  video_w, audio_w, mask)
+                    vi, ai = aggregate_importances(av, aa)
+                    vi, ai = np.asarray(vi), np.asarray(ai)
+                    for row, s in enumerate(starts):
+                        imp_all[s] = _topk_importance(vi[row], ai[row])
+
+            # 6) emit (reference item schema, inference.py:500-520) ------
+            for s in range(n_sub):
+                start_frame_idx = s * subchunk_size
+                start_frame = (seq.frames[start_frame_idx]
+                               if start_frame_idx < len(seq.frames) else 0)
+                pred = int(np.argmax(probs_all[s]))
+                item = {"class": self.labels[pred], "frame": int(start_frame)}
+                if explain and s in imp_all:
+                    item["feature_importance"] = imp_all[s]
+                inference.append(item)
+
+        return {"bounding_box": bounding_box, "inference": inference}
+
+    def infer_file_bytes(self, data: bytes, filename: str = "upload.mp4",
+                         subchunk_size: int = 32, window_size: int = 5,
+                         explain: bool = False) -> Dict:
+        """Upload wrapper (reference infer_upload_file, inference.py:528-535)."""
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as tmpdir:
+            path = os.path.join(tmpdir, os.path.basename(filename) or "u.mp4")
+            with open(path, "wb") as f:
+                f.write(data)
+            return self.infer_video_file(path, subchunk_size, window_size,
+                                         explain)
+
+
+def _topk_importance(video_imp: np.ndarray, audio_imp: np.ndarray,
+                     top_k: int = 10) -> Dict:
+    def top(arr):
+        idx = np.argsort(-np.abs(arr))[:top_k]
+        return [{"dimension": int(i), "importance": float(arr[i])}
+                for i in idx]
+
+    return {"video": top(video_imp), "audio": top(audio_imp)}

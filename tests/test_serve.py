@@ -1,0 +1,136 @@
+"""Serving: engine end-to-end on a real-face synthetic video + HTTP API
+contract over the stdlib server."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from mmer_tpu.config import ModelConfig, ViViTConfig
+from mmer_tpu.serve.app import make_handler, parse_multipart
+from mmer_tpu.serve.engine import InferenceEngine
+
+TINY_VIVIT = ViViTConfig(image_size=(32, 32), patch_size=(16, 16),
+                         num_frames=4, tubelet_size=2, dim=768, depth=1,
+                         heads=2, dim_head=32, mlp_dim=64,
+                         compute_dtype="float32")
+TINY_FUSION = ModelConfig(max_seq_len=3, fusion_layers=1,
+                          compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def face_video(tmp_path_factory):
+    """An mp4 whose frames contain a real face (matplotlib's bundled
+    grace_hopper portrait), so the Viola-Jones detector fires."""
+    cv2 = pytest.importorskip("cv2")
+    pytest.importorskip("matplotlib")
+    from matplotlib import cbook
+    from PIL import Image
+
+    img = np.asarray(Image.open(
+        cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)))
+    img = cv2.resize(img, (256, 300))
+    path = str(tmp_path_factory.mktemp("vid") / "face.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                        (256, 300))
+    if not w.isOpened():
+        pytest.skip("no mp4 encoder")
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        jitter = img.astype(np.int16) + rng.integers(-8, 8, img.shape)
+        w.write(np.clip(jitter, 0, 255).astype(np.uint8)[:, :, ::-1])
+    w.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT)
+
+
+def test_engine_end_to_end(face_video, engine):
+    res = engine.infer_video_file(face_video, subchunk_size=4,
+                                  window_size=2)
+    # Response schema (reference inference.py:356-524).
+    assert set(res) == {"bounding_box", "inference"}
+    assert len(res["bounding_box"]) >= 4, "face not detected across frames"
+    bb = res["bounding_box"][0]
+    assert set(bb) == {"frame", "x1", "y1", "x2", "y2", "confidence"}
+    assert len(res["inference"]) == 2          # 8 frames / subchunk 4
+    for item in res["inference"]:
+        assert item["class"] in ("NEU", "HAP", "SAD", "ANG", "FEA", "DIS")
+        assert isinstance(item["frame"], int)
+
+
+def test_engine_explain(face_video, engine):
+    res = engine.infer_video_file(face_video, subchunk_size=4,
+                                  window_size=2, explain=True)
+    item = res["inference"][0]
+    fi = item["feature_importance"]
+    assert len(fi["video"]) == 10 and len(fi["audio"]) == 10
+    assert set(fi["video"][0]) == {"dimension", "importance"}
+
+
+def test_multipart_parser():
+    boundary = "XBOUND"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; filename="v.mp4"\r\n'
+            "Content-Type: video/mp4\r\n\r\n").encode() + b"\x00BINARY\xff" \
+        + f"\r\n--{boundary}\r\n".encode() \
+        + b'Content-Disposition: form-data; name="note"\r\n\r\nhello' \
+        + f"\r\n--{boundary}--\r\n".encode()
+    fields = parse_multipart(body,
+                             f'multipart/form-data; boundary={boundary}')
+    assert fields["file"] == ("v.mp4", b"\x00BINARY\xff")
+    assert fields["note"] == ("", b"hello")
+
+
+@pytest.fixture(scope="module")
+def live_server(engine):
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_http_ping_health(live_server):
+    for route, want in (("/ping", {"message": "pong"}),
+                        ("/health", {"status": "ok"})):
+        with urllib.request.urlopen(live_server + route) as r:
+            assert json.loads(r.read()) == want
+
+
+def test_http_infer_roundtrip(live_server, face_video):
+    boundary = "testbound123"
+    video_bytes = open(face_video, "rb").read()
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="face.mp4"\r\n'
+            "Content-Type: video/mp4\r\n\r\n").encode() + video_bytes \
+        + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        live_server + "/infer/?subchunk_size=4&window_size=2&explain=true",
+        data=body, method="POST",
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req) as r:
+        res = json.loads(r.read())
+    assert set(res) == {"bounding_box", "inference"}
+    assert res["inference"] and "feature_importance" in res["inference"][0]
+
+
+def test_http_infer_missing_file_is_422(live_server):
+    req = urllib.request.Request(
+        live_server + "/infer/", data=b"--x--",
+        method="POST",
+        headers={"Content-Type": "multipart/form-data; boundary=x"})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP error"
+    except urllib.error.HTTPError as e:
+        assert e.code == 422
