@@ -1,0 +1,35 @@
+"""Device probe (the reference's CUDA smoke check, check.py:1-7, TPU-native).
+
+Run: ``python -m mmer_tpu.core.check``
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    print(f"jax {jax.__version__}")
+    devices = jax.devices()
+    print(f"devices: {[str(d) for d in devices]}")
+    print(f"default backend: {jax.default_backend()}")
+
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    (x @ x).block_until_ready()          # compile + warm
+    t0 = time.perf_counter()
+    reps = 10
+    y = x
+    for _ in range(reps):
+        y = y @ x
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    flops = 2 * 4096 ** 3
+    print(f"bf16 4096^3 matmul: {dt * 1e3:.2f} ms  "
+          f"({flops / dt / 1e12:.1f} TFLOP/s)")
+
+
+if __name__ == "__main__":
+    main()

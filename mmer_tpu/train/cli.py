@@ -35,6 +35,12 @@ def main(argv=None):
     p.add_argument("--patience", type=int, default=8)
     p.add_argument("--no_test_eval", action="store_true")
     p.add_argument("--resume_dir", default=None)
+    p.add_argument("--interpret", action="store_true",
+                   help="IG feature importances on the test set "
+                        "(reference train2.py:990 epilogue — run on the "
+                        "BEST params, fixing its final-weights bug)")
+    p.add_argument("--profile_dir", default=None,
+                   help="capture a jax.profiler trace of the run")
     args = p.parse_args(argv)
 
     data_cfg = DataConfig(
@@ -53,9 +59,29 @@ def main(argv=None):
         patience=args.patience, output_dir=args.output_dir,
         eval_test_every_epoch=not args.no_test_eval)
 
-    out = train_model(data, splits, model_cfg, train_cfg,
-                      batch_size=args.batch_size, mesh_cfg=MeshConfig(),
-                      seed=args.seed, resume_dir=args.resume_dir)
+    from mmer_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        out = train_model(data, splits, model_cfg, train_cfg,
+                          batch_size=args.batch_size, mesh_cfg=MeshConfig(),
+                          seed=args.seed, resume_dir=args.resume_dir)
+
+    if args.interpret:
+        from mmer_tpu.interpret import interpret_test_set
+        from mmer_tpu.models.fusion import MultimodalEmotionModel
+
+        model = MultimodalEmotionModel(model_cfg)
+        params = out.best_params if out.best_params is not None \
+            else out.final_params
+
+        def apply_fn(p, v, a, m):
+            _, logits, _ = model.apply({"params": p}, v, a, m)
+            return logits
+
+        dev_data = {"video": data.video, "audio": data.audio,
+                    "pad_mask": data.pad_mask, "labels": data.labels}
+        interpret_test_set(apply_fn, params, dev_data, splits.test,
+                           output_dir=args.output_dir)
     best = max((r for r in out.results if "test_macro_f1" in r),
                key=lambda r: r["test_macro_f1"], default=None)
     if best:
