@@ -64,8 +64,26 @@ def _load_entry(entry: CatalogEntry) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_feature_arrays(catalog: List[CatalogEntry],
-                        num_workers: int = 16) -> Tuple[List[np.ndarray], np.ndarray]:
-    """Parallel host load of all feature files (threaded; np.load is I/O bound)."""
+                        num_workers: int = 16,
+                        use_native: bool = True
+                        ) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Bulk host load of all feature files.
+
+    Fast path: the C++ thread-pool loader (native/npy_loader.cpp via
+    data/native_loader.py) — one call for all video artifacts, one for all
+    audio.  Falls back to threaded ``np.load`` when the shared library is
+    unavailable or any artifact violates the contract (the Python path then
+    raises precise per-file errors).
+    """
+    if use_native:
+        from mmer_tpu.data import native_loader
+
+        result = native_loader.load_feature_arrays_native(
+            [e.video_path for e in catalog],
+            [e.audio_path for e in catalog],
+            n_threads=num_workers)
+        if result is not None:
+            return result
     with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
         results = list(pool.map(_load_entry, catalog))
     videos = [v for v, _ in results]
