@@ -1,0 +1,163 @@
+// Upload → analyze → synchronized playback UI (capability of reference
+// App.tsx:43-142): health preflight, POST /infer/?explain=true, frame→class
+// forward-fill, bbox overlay, waveform, per-window importance chart, and a
+// per-window results strip.
+
+import { useCallback, useMemo, useState } from "react";
+import AudioWaveform from "./components/AudioWaveform";
+import FeatureImportanceChart from "./components/FeatureImportanceChart";
+import VideoPlayer from "./components/VideoPlayer";
+import { checkHealth, inferVideo, isFlv } from "./lib/api";
+import type { InferResponse } from "./types";
+import { EMOTION_COLORS } from "./types";
+import "./app.css";
+
+export default function App() {
+  const [file, setFile] = useState<File | null>(null);
+  const [videoUrl, setVideoUrl] = useState<string>("");
+  const [flvNotice, setFlvNotice] = useState(false);
+  const [busy, setBusy] = useState(false);
+  const [error, setError] = useState<string>("");
+  const [result, setResult] = useState<InferResponse | null>(null);
+  const [time, setTime] = useState(0);
+  const [duration, setDuration] = useState(0);
+
+  const onPick = useCallback(async (f: File | null) => {
+    setFile(f);
+    setResult(null);
+    setError("");
+    setFlvNotice(false);
+    if (f) {
+      setVideoUrl(URL.createObjectURL(f));
+      // The reference transcodes FLV in-browser via ffmpeg.wasm; here the
+      // backend handles every container and the player just warns.
+      if (await isFlv(f)) setFlvNotice(true);
+    } else {
+      setVideoUrl("");
+    }
+  }, []);
+
+  const analyze = useCallback(async () => {
+    if (!file) return;
+    setBusy(true);
+    setError("");
+    try {
+      if (!(await checkHealth())) {
+        throw new Error("backend is not reachable (/health failed)");
+      }
+      setResult(await inferVideo(file, { explain: true }));
+    } catch (e) {
+      setError(e instanceof Error ? e.message : String(e));
+    } finally {
+      setBusy(false);
+    }
+  }, [file]);
+
+  // Forward-fill: each window's class holds until the next window's start
+  // frame (reference App.tsx:87-109).
+  const frameToClass = useMemo(() => {
+    const m = new Map<number, string>();
+    if (!result) return m;
+    const items = [...result.inference].sort((a, b) => a.frame - b.frame);
+    const maxFrame = result.bounding_box.reduce(
+      (acc, b) => Math.max(acc, b.frame),
+      0,
+    );
+    for (let i = 0; i < items.length; i++) {
+      const from = items[i].frame;
+      const to = i + 1 < items.length ? items[i + 1].frame : maxFrame + 1;
+      for (let f = from; f < to; f++) m.set(f, items[i].class);
+    }
+    return m;
+  }, [result]);
+
+  const maxFrame = useMemo(
+    () => result?.bounding_box.reduce((a, b) => Math.max(a, b.frame), 0) ?? 0,
+    [result],
+  );
+  const fps = duration > 0 && maxFrame > 0 ? (maxFrame + 1) / duration : 30;
+  const currentFrame = Math.round(time * fps);
+
+  return (
+    <main>
+      <h1>Multi-Modal Emotion Recognition</h1>
+      <p className="muted">
+        Upload a video; the backend detects faces, embeds video + audio, and
+        classifies the emotion per sliding window.
+      </p>
+
+      <section className="controls">
+        <input
+          type="file"
+          accept="video/*,.flv"
+          onChange={(e) => void onPick(e.target.files?.[0] ?? null)}
+        />
+        <button disabled={!file || busy} onClick={() => void analyze()}>
+          {busy ? "Analyzing…" : "Analyze"}
+        </button>
+      </section>
+
+      {flvNotice && (
+        <p className="notice">
+          FLV container: inference runs server-side as usual, but this
+          browser may not preview the raw file.
+        </p>
+      )}
+      {error && <p className="error">{error}</p>}
+
+      {videoUrl && (
+        <VideoPlayer
+          src={videoUrl}
+          boxes={result?.bounding_box ?? []}
+          frameToClass={frameToClass}
+          currentTime={time}
+          onTimeUpdate={(t, d) => {
+            setTime(t);
+            if (d) setDuration(d);
+          }}
+        />
+      )}
+
+      {videoUrl && (
+        <AudioWaveform
+          src={videoUrl}
+          currentTime={time}
+          duration={duration}
+          onSeek={setTime}
+        />
+      )}
+
+      {result && (
+        <>
+          <section className="results">
+            <h3>Windows</h3>
+            <div className="chips">
+              {result.inference.map((item, i) => (
+                <button
+                  key={i}
+                  className="chip"
+                  style={{ borderColor: EMOTION_COLORS[item.class] }}
+                  onClick={() => setTime(item.frame / fps)}
+                  title={`seek to frame ${item.frame}`}
+                >
+                  <span
+                    className="dot"
+                    style={{ background: EMOTION_COLORS[item.class] }}
+                  />
+                  {item.class} @ {item.frame}
+                </button>
+              ))}
+            </div>
+          </section>
+          <section>
+            <h3>Feature importance (Integrated Gradients)</h3>
+            <FeatureImportanceChart
+              inference={result.inference}
+              currentFrame={currentFrame}
+            />
+          </section>
+        </>
+      )}
+    </main>
+  );
+}

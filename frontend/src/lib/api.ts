@@ -1,0 +1,67 @@
+// Backend client. BASE resolves to the nginx /api prefix in production
+// (deploy/nginx.conf) or the Vite dev proxy locally; VITE_BACKEND_URL
+// overrides both (reference App.tsx:55 uses the same env var).
+
+import type { InferResponse } from "../types";
+
+const BASE: string =
+  (import.meta as any).env?.VITE_BACKEND_URL ?? "/api";
+
+export async function checkHealth(): Promise<boolean> {
+  try {
+    const res = await fetch(`${BASE}/health`);
+    if (!res.ok) return false;
+    const body = await res.json();
+    return body.status === "ok";
+  } catch {
+    return false;
+  }
+}
+
+export interface InferOptions {
+  subchunkSize?: number;
+  windowSize?: number;
+  explain?: boolean;
+}
+
+export async function inferVideo(
+  file: File,
+  opts: InferOptions = {},
+): Promise<InferResponse> {
+  const params = new URLSearchParams({
+    subchunk_size: String(opts.subchunkSize ?? 32),
+    window_size: String(opts.windowSize ?? 5),
+    explain: String(opts.explain ?? true),
+  });
+  const form = new FormData();
+  form.append("file", file);
+  const res = await fetch(`${BASE}/infer/?${params}`, {
+    method: "POST",
+    body: form,
+  });
+  if (!res.ok) {
+    let detail = res.statusText;
+    try {
+      detail = (await res.json()).detail ?? detail;
+    } catch {
+      /* keep statusText */
+    }
+    throw new Error(`inference failed (${res.status}): ${detail}`);
+  }
+  return (await res.json()) as InferResponse;
+}
+
+// FLV uploads: the reference transcodes FLV→MP4 in-browser with ffmpeg.wasm
+// before playback (reference VideoPlayer.tsx:389-441).  This build keeps the
+// wasm bundle out of the critical path: the backend decodes every container
+// server-side, so inference always works; browsers just can't *preview*
+// FLV natively — the player shows a notice instead.
+export function isFlv(file: File): Promise<boolean> {
+  return file
+    .slice(0, 3)
+    .arrayBuffer()
+    .then((buf) => {
+      const b = new Uint8Array(buf);
+      return b[0] === 0x46 && b[1] === 0x4c && b[2] === 0x56; // "FLV"
+    });
+}
