@@ -41,6 +41,9 @@ def main(argv=None):
                         "BEST params, fixing its final-weights bug)")
     p.add_argument("--profile_dir", default=None,
                    help="capture a jax.profiler trace of the run")
+    p.add_argument("--fused", action="store_true",
+                   help="run the ENTIRE training loop on device as one "
+                        "lax.while_loop call (no per-epoch host sync)")
     args = p.parse_args(argv)
 
     data_cfg = DataConfig(
@@ -64,7 +67,8 @@ def main(argv=None):
     with trace(args.profile_dir):
         out = train_model(data, splits, model_cfg, train_cfg,
                           batch_size=args.batch_size, mesh_cfg=MeshConfig(),
-                          seed=args.seed, resume_dir=args.resume_dir)
+                          seed=args.seed, resume_dir=args.resume_dir,
+                          fused=args.fused)
 
     if args.interpret:
         from mmer_tpu.interpret import interpret_test_set

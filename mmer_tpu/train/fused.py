@@ -1,0 +1,260 @@
+"""Whole-run fused training: every epoch, eval, scheduler step, early-stop
+decision and best-model copy happens ON DEVICE inside one jitted
+``lax.while_loop`` — a complete training run is a single host→device call.
+
+Contrast with the reference's loop (train2.py:495-774), which crosses the
+host↔device boundary per *batch* and syncs every prediction to the host
+for sklearn each epoch; and with our own epoch-loop (train/loop.py), which
+still pays one host round-trip per epoch (the dominant cost through a
+tunneled chip: 542 ms/epoch of RTT vs ~3 ms of compute for this model).
+
+Semantics preserved exactly (same as train/loop.py):
+- Adam + L2-into-grad + global-norm clip 1.0 (train2.py:525,576);
+- torch ``ReduceLROnPlateau(factor, patience, rel threshold 1e-4)`` on the
+  val loss (train2.py:526), lr updated functionally in the optimizer's
+  injected hyperparams;
+- early stop after ``patience`` epochs with per-epoch val-loss improvement
+  < ``min_delta`` (train2.py:622-633);
+- best params tracked by val loss (train2.py:617-620), copied on device;
+- per-epoch train/val/test losses + confusion matrices land in
+  preallocated device buffers; P/R/F1 are derived on host afterwards.
+
+Early-stopped epochs are never executed (``while_loop`` condition), so the
+run costs only the epochs it actually takes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mmer_tpu.config import ModelConfig, TrainConfig
+from mmer_tpu.models.fusion import MultimodalEmotionModel
+from mmer_tpu.ops.losses import focal_loss, weighted_cross_entropy
+from mmer_tpu.train.metrics import confusion_matrix
+
+
+class FusedCarry(NamedTuple):
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+    epoch: jax.Array            # i32 — epochs completed
+    done: jax.Array             # bool — early-stopped
+    best_params: Any
+    best_val_loss: jax.Array
+    best_epoch: jax.Array       # 1-based, 0 = none yet
+    sched_best: jax.Array       # plateau scheduler state
+    sched_bad: jax.Array
+    prev_val_loss: jax.Array    # early-stopping state
+    no_improve: jax.Array
+    metrics: Dict[str, jax.Array]   # preallocated (E, ...) buffers
+
+
+def _loss_fn(cfg: TrainConfig) -> Callable:
+    if cfg.loss == "weighted_ce":
+        return lambda logits, labels, cw, sw: weighted_cross_entropy(
+            logits, labels, cw, sw)
+    if cfg.loss == "focal":
+        return lambda logits, labels, cw, sw: focal_loss(
+            logits, labels, gamma=cfg.focal_gamma, alpha=None,
+            sample_weight=sw)
+    raise ValueError(f"unknown loss {cfg.loss}")
+
+
+def _pad_batches(idx: jax.Array, batch: int) -> jax.Array:
+    n = idx.shape[0]
+    steps = -(-n // batch)
+    padded = jnp.concatenate(
+        [idx, jnp.full((steps * batch - n,), -1, jnp.int32)])
+    return padded.reshape(steps, batch)
+
+
+def build_fused_train(model: MultimodalEmotionModel,
+                      optimizer: optax.GradientTransformation,
+                      model_cfg: ModelConfig, train_cfg: TrainConfig,
+                      batch_size: int, eval_batch: int = 1024) -> Callable:
+    """→ jitted ``run(params, opt_state, rng, data, train_idx, val_idx,
+    test_idx, class_weights)`` executing the whole training run."""
+    loss_fn = _loss_fn(train_cfg)
+    num_classes = model_cfg.num_classes
+    num_epochs = train_cfg.num_epochs
+
+    def train_epoch(params, opt_state, rng, data, train_idx, class_weights):
+        n = train_idx.shape[0]
+        rng, shuffle_key, epoch_key = jax.random.split(rng, 3)
+        perm = jax.random.permutation(shuffle_key, n)
+        batches = _pad_batches(jnp.take(train_idx, perm, axis=0), batch_size)
+
+        def step_fn(carry, xs):
+            params, opt_state = carry
+            idx, step_i = xs
+            sw = (idx >= 0).astype(jnp.float32)
+            safe = jnp.maximum(idx, 0)
+            video = jnp.take(data["video"], safe, axis=0)
+            audio = jnp.take(data["audio"], safe, axis=0)
+            mask = jnp.take(data["pad_mask"], safe, axis=0)
+            labels = jnp.take(data["labels"], safe, axis=0)
+            dropout_key = jax.random.fold_in(epoch_key, step_i)
+
+            def loss_of(p):
+                _, logits, _ = model.apply(
+                    {"params": p}, video, audio, mask, train=True,
+                    rngs={"dropout": dropout_key})
+                return loss_fn(logits, labels, class_weights, sw)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step_fn, (params, opt_state),
+            (batches, jnp.arange(batches.shape[0])))
+        return params, opt_state, rng, jnp.mean(losses)
+
+    def evaluate(params, data, idx, class_weights):
+        batches = _pad_batches(idx, eval_batch)
+
+        def step_fn(carry, b):
+            loss_sum, w_sum, cm = carry
+            sw = (b >= 0).astype(jnp.float32)
+            safe = jnp.maximum(b, 0)
+            video = jnp.take(data["video"], safe, axis=0)
+            audio = jnp.take(data["audio"], safe, axis=0)
+            mask = jnp.take(data["pad_mask"], safe, axis=0)
+            labels = jnp.take(data["labels"], safe, axis=0)
+            _, logits, _ = model.apply({"params": params}, video, audio,
+                                       mask)
+            batch_loss = loss_fn(logits, labels, class_weights, sw)
+            bw = jnp.sum(sw)
+            preds = jnp.argmax(logits, axis=-1)
+            cm = cm + confusion_matrix(labels, preds, num_classes,
+                                       sample_weight=sw)
+            return (loss_sum + batch_loss * bw, w_sum + bw, cm), None
+
+        init = (jnp.zeros(()), jnp.zeros(()),
+                jnp.zeros((num_classes, num_classes)))
+        (loss_sum, w_sum, cm), _ = jax.lax.scan(step_fn, init, batches)
+        return loss_sum / jnp.maximum(w_sum, 1.0), cm
+
+    def run(params, opt_state, rng, data, train_idx, val_idx, test_idx,
+            class_weights):
+        metrics = {
+            "train_loss": jnp.zeros((num_epochs,)),
+            "val_loss": jnp.zeros((num_epochs,)),
+            "val_cm": jnp.zeros((num_epochs, num_classes, num_classes)),
+            "test_cm": jnp.zeros((num_epochs, num_classes, num_classes)),
+            "lr": jnp.zeros((num_epochs,)),
+        }
+        carry = FusedCarry(
+            params=params, opt_state=opt_state, rng=rng,
+            epoch=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
+            best_params=jax.tree_util.tree_map(jnp.copy, params),
+            best_val_loss=jnp.asarray(jnp.inf),
+            best_epoch=jnp.zeros((), jnp.int32),
+            sched_best=jnp.asarray(jnp.inf),
+            sched_bad=jnp.zeros((), jnp.int32),
+            prev_val_loss=jnp.asarray(jnp.inf),
+            no_improve=jnp.zeros((), jnp.int32),
+            metrics=metrics)
+
+        def cond(c: FusedCarry):
+            return (c.epoch < num_epochs) & ~c.done
+
+        def body(c: FusedCarry) -> FusedCarry:
+            params, opt_state, rng, train_loss = train_epoch(
+                c.params, c.opt_state, c.rng, data, train_idx, class_weights)
+            val_loss, val_cm = evaluate(params, data, val_idx, class_weights)
+            test_loss, test_cm = evaluate(params, data, test_idx,
+                                          class_weights)
+            del test_loss
+
+            # torch ReduceLROnPlateau (rel threshold 1e-4).
+            improved = val_loss < c.sched_best * (1.0 - 1e-4)
+            sched_best = jnp.where(improved, val_loss, c.sched_best)
+            sched_bad = jnp.where(improved, 0, c.sched_bad + 1)
+            reduce_now = sched_bad > train_cfg.scheduler_patience
+            lr = opt_state.hyperparams["learning_rate"]
+            new_lr = jnp.where(reduce_now, lr * train_cfg.scheduler_factor,
+                               lr)
+            sched_bad = jnp.where(reduce_now, 0, sched_bad)
+            hyper = dict(opt_state.hyperparams)
+            hyper["learning_rate"] = new_lr
+            opt_state = opt_state._replace(hyperparams=hyper)
+
+            # best-model tracking by val loss.
+            is_best = val_loss < c.best_val_loss
+            best_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(is_best, new, old),
+                params, c.best_params)
+            best_val_loss = jnp.where(is_best, val_loss, c.best_val_loss)
+            best_epoch = jnp.where(is_best, c.epoch + 1, c.best_epoch)
+
+            # early stopping on per-epoch improvement.
+            no_improve = jnp.where(
+                c.prev_val_loss - val_loss < train_cfg.min_delta,
+                c.no_improve + 1, 0)
+            done = no_improve >= train_cfg.patience
+
+            e = c.epoch
+            m = c.metrics
+            metrics = {
+                "train_loss": m["train_loss"].at[e].set(train_loss),
+                "val_loss": m["val_loss"].at[e].set(val_loss),
+                "val_cm": m["val_cm"].at[e].set(val_cm),
+                "test_cm": m["test_cm"].at[e].set(test_cm),
+                "lr": m["lr"].at[e].set(new_lr),
+            }
+            return FusedCarry(
+                params=params, opt_state=opt_state, rng=rng, epoch=e + 1,
+                done=done, best_params=best_params,
+                best_val_loss=best_val_loss, best_epoch=best_epoch,
+                sched_best=sched_best, sched_bad=sched_bad,
+                prev_val_loss=val_loss, no_improve=no_improve,
+                metrics=metrics)
+
+        final = jax.lax.while_loop(cond, body, carry)
+        return final
+
+    return jax.jit(run, donate_argnums=(0, 1))
+
+
+def fused_results_rows(final: FusedCarry) -> list:
+    """Device metric buffers → the reference's per-epoch results rows
+    (train2.py:679-714 schema), computed on host."""
+    from mmer_tpu.train.metrics import (accuracy_from_confusion,
+                                        prf_from_confusion)
+
+    epochs_run = int(final.epoch)
+    rows = []
+    m = jax.device_get(final.metrics)
+    for e in range(epochs_run):
+        val_cm = np.asarray(m["val_cm"][e])
+        test_cm = np.asarray(m["test_cm"][e])
+        val_prf = prf_from_confusion(val_cm)
+        test_prf = prf_from_confusion(test_cm)
+        rows.append({
+            "epoch": e + 1,
+            "train_loss": float(m["train_loss"][e]),
+            "val_loss": float(m["val_loss"][e]),
+            "val_acc": 100.0 * accuracy_from_confusion(val_cm),
+            "val_macro_precision": val_prf["macro_precision"],
+            "val_macro_recall": val_prf["macro_recall"],
+            "val_macro_f1": val_prf["macro_f1"],
+            "val_micro_precision": val_prf["micro_precision"],
+            "val_micro_recall": val_prf["micro_recall"],
+            "val_micro_f1": val_prf["micro_f1"],
+            "test_acc": 100.0 * accuracy_from_confusion(test_cm),
+            "test_macro_precision": test_prf["macro_precision"],
+            "test_macro_recall": test_prf["macro_recall"],
+            "test_macro_f1": test_prf["macro_f1"],
+            "test_micro_precision": test_prf["micro_precision"],
+            "test_micro_recall": test_prf["micro_recall"],
+            "test_micro_f1": test_prf["micro_f1"],
+            "learning_rate": float(m["lr"][e]),
+        })
+    return rows

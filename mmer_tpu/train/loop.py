@@ -228,6 +228,119 @@ def build_eval(model: MultimodalEmotionModel, train_cfg: TrainConfig,
     return jax.jit(evaluate)
 
 
+def _train_model_fused(data: DatasetArrays, splits: DataSplits,
+                       model_cfg: ModelConfig, train_cfg: TrainConfig,
+                       batch_size: int, seed: int = 0,
+                       verbose: bool = True) -> "TrainOutput":
+    """Whole-run-on-device training (see train/fused.py)."""
+    from mmer_tpu.train.fused import build_fused_train, fused_results_rows
+
+    if model_cfg.norm == "batchnorm":
+        raise ValueError("fused mode does not support batchnorm models; "
+                         "use fused=False")
+    model = MultimodalEmotionModel(model_cfg)
+    optimizer = make_optimizer(train_cfg)
+
+    dev_data = {
+        "video": jnp.asarray(data.video),
+        "audio": jnp.asarray(data.audio),
+        "pad_mask": jnp.asarray(data.pad_mask),
+        "labels": jnp.asarray(data.labels),
+    }
+    class_weights = jnp.asarray(splits.class_weights)
+    rng = jax.random.PRNGKey(seed)
+    rng, init_key = jax.random.split(rng)
+    params = model.init(
+        {"params": init_key}, dev_data["video"][:2], dev_data["audio"][:2],
+        dev_data["pad_mask"][:2])["params"]
+    opt_state = optimizer.init(params)
+
+    run = build_fused_train(model, optimizer, model_cfg, train_cfg,
+                            batch_size)
+    t_start = time.time()
+    final = run(params, opt_state, rng, dev_data,
+                jnp.asarray(splits.train, jnp.int32),
+                jnp.asarray(splits.val, jnp.int32),
+                jnp.asarray(splits.test, jnp.int32), class_weights)
+    jax.block_until_ready(final.epoch)
+    elapsed = time.time() - t_start
+
+    results = fused_results_rows(final)
+    best_epoch = int(final.best_epoch)
+    best_val_loss = float(final.best_val_loss)
+    best_params = jax.device_get(final.best_params)
+    final_params = jax.device_get(final.params)
+    epochs_run = len(results)
+    if verbose:
+        if epochs_run < train_cfg.num_epochs:
+            print(f"Early stopping at epoch {epochs_run}")
+        if results:
+            last = results[-1]
+            print(f"Epoch {epochs_run}: train {last['train_loss']:.4f}, "
+                  f"val {last['val_loss']:.4f}, "
+                  f"test acc {last['test_acc']:.2f}%, "
+                  f"test macro-F1 {last['test_macro_f1']:.4f} "
+                  f"({elapsed:.1f}s total, fused)")
+
+    hyperparameters = {
+        "num_epochs": train_cfg.num_epochs, "lr": train_cfg.lr,
+        "weight_decay": train_cfg.weight_decay,
+        "patience": train_cfg.patience, "batch_size": batch_size,
+        "device": jax.devices()[0].platform,
+        "video_dim": model_cfg.video_dim, "audio_dim": model_cfg.audio_dim,
+        "fused_dim": model_cfg.fused_dim,
+        "num_classes": model_cfg.num_classes,
+        "max_seq_len": model_cfg.max_seq_len,
+        "fusion_dropout": model_cfg.fusion_dropout,
+        "classifier_dropout": model_cfg.classifier_dropout,
+        "num_layers": model_cfg.fusion_layers,
+        "num_heads": model_cfg.fusion_heads,
+        "scheduler_factor": train_cfg.scheduler_factor,
+        "scheduler_patience": train_cfg.scheduler_patience,
+        "focal_gamma": train_cfg.focal_gamma, "loss": train_cfg.loss,
+        "fused_run": True, "train_wall_seconds": elapsed,
+    }
+
+    confusion = None
+    if best_epoch > 0:
+        confusion = np.asarray(
+            jax.device_get(final.metrics["test_cm"])[best_epoch - 1])
+        if verbose:
+            print("Confusion matrix (rows = true, cols = pred):")
+            print(confusion.astype(int))
+
+    results_path = best_path = final_path = None
+    if train_cfg.save_checkpoints:
+        os.makedirs(train_cfg.output_dir, exist_ok=True)
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        stem = f"bs{batch_size}_ep{train_cfg.num_epochs}_lr{train_cfg.lr}_{ts}"
+        results_path = os.path.join(train_cfg.output_dir,
+                                    f"results_{stem}.json")
+        with open(results_path, "w") as f:
+            json.dump({
+                "training_progress": results,
+                "best_model": {"epoch": best_epoch},
+                "hyperparameters": hyperparameters,
+                "confusion_matrix": confusion.astype(int).tolist()
+                if confusion is not None else None,
+            }, f, indent=4)
+        best_path = os.path.join(train_cfg.output_dir,
+                                 f"best_model_{stem}.msgpack")
+        final_path = os.path.join(train_cfg.output_dir,
+                                  f"final_model_{stem}.msgpack")
+        ckpt.save_params_msgpack(best_path, best_params)
+        ckpt.save_params_msgpack(final_path, final_params)
+        if verbose:
+            print(f"Training results saved to {results_path}")
+
+    return TrainOutput(
+        best_params=best_params, final_params=final_params, results=results,
+        best_epoch=best_epoch, best_val_loss=best_val_loss,
+        results_path=results_path, best_model_path=best_path,
+        final_model_path=final_path, hyperparameters=hyperparameters,
+        confusion=confusion)
+
+
 @dataclasses.dataclass
 class TrainOutput:
     best_params: Any
@@ -248,9 +361,20 @@ def train_model(data: DatasetArrays, splits: DataSplits,
                 mesh_cfg: Optional[MeshConfig] = None,
                 seed: int = 0,
                 verbose: bool = True,
-                resume_dir: Optional[str] = None) -> TrainOutput:
+                resume_dir: Optional[str] = None,
+                fused: bool = False) -> TrainOutput:
     """Full training run with reference-equivalent control flow and the
-    reference's JSON results schema (train2.py:748-764)."""
+    reference's JSON results schema (train2.py:748-764).
+
+    ``fused=True`` runs the ENTIRE multi-epoch loop (scheduler, early
+    stopping, best tracking) as one on-device ``lax.while_loop``
+    (train/fused.py) — one host→device call per run instead of per epoch.
+    Epoch-loop mode remains for mid-run resume, per-epoch logging, and
+    batch-stats (v1 batchnorm) models.
+    """
+    if fused:
+        return _train_model_fused(data, splits, model_cfg, train_cfg,
+                                  batch_size, seed=seed, verbose=verbose)
     mesh = create_mesh(mesh_cfg)
     model = MultimodalEmotionModel(model_cfg)
     optimizer = make_optimizer(train_cfg)
