@@ -91,6 +91,10 @@ class TrainConfig:
     focal_gamma: float = 2.0
     output_dir: str = "training_runs_2"
     save_checkpoints: bool = True
+    # Periodic full-state (params + optimizer + rng) checkpoints for
+    # mid-run resume; 0 disables.  The reference saves only best/final
+    # weights and cannot resume (SURVEY.md §5).
+    checkpoint_every: int = 0
     eval_test_every_epoch: bool = True
     log_every: int = 1
 

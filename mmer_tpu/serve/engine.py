@@ -251,6 +251,53 @@ class InferenceEngine:
 
         return {"bounding_box": bounding_box, "inference": inference}
 
+    def predict_clip(self, video_path: str, subchunk_size: int = 32,
+                     top_k: int = 3) -> Optional[Dict]:
+        """Whole-clip (non-windowed) prediction — the reference's legacy
+        ``InferenceEngine.predict_from_file`` contract
+        (back-end/app/inference.py:27-163, not wired to any route there):
+        all chunks of the raw clip → (T, 768), audio track → (1024,),
+        clip/pad to the fusion model's ``max_seq_len - 1`` video slots,
+        → ``{"predicted_label", "predicted_index", "scores": top-k}``."""
+        from mmer_tpu.preprocess.audio import extract_audio_track
+        from mmer_tpu.preprocess.video import load_video_chunks
+
+        chunks = load_video_chunks(video_path, subchunk_size,
+                                   tuple(self.vivit_cfg.image_size))
+        if chunks is None:
+            return None
+        video_feats = self.video_extractor.embed_chunks(chunks)   # (T, 768)
+
+        waveform = extract_audio_track(video_path, self.wav_cfg.sample_rate)
+        if waveform is not None and len(waveform):
+            audio_emb = self.audio_embedder.embed_batch([waveform])[0]
+        else:
+            audio_emb = np.zeros(self.model_cfg.audio_dim, np.float32)
+
+        max_tokens = self.model_cfg.max_seq_len - 1
+        t = video_feats.shape[0]
+        if t > max_tokens:
+            video_feats = video_feats[:max_tokens]
+            mask = np.zeros((1, max_tokens), bool)
+        else:
+            pad = np.zeros((max_tokens - t, video_feats.shape[1]),
+                           np.float32)
+            video_feats = np.concatenate([video_feats, pad])
+            mask = np.arange(max_tokens)[None, :] >= t
+
+        video_b, audio_b = self._normalize(video_feats[None],
+                                           audio_emb[None])
+        _, params, apply = self.fusion
+        probs, _, _ = apply(params, video_b, audio_b, mask)
+        probs = np.asarray(probs)[0]
+        order = np.argsort(-probs)[:top_k]
+        return {
+            "predicted_label": self.labels[int(order[0])],
+            "predicted_index": int(order[0]),
+            "scores": [{"label": self.labels[int(i)],
+                        "probability": float(probs[i])} for i in order],
+        }
+
     def infer_file_bytes(self, data: bytes, filename: str = "upload.mp4",
                          subchunk_size: int = 32, window_size: int = 5,
                          explain: bool = False) -> Dict:

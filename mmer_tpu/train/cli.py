@@ -34,7 +34,11 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--patience", type=int, default=8)
     p.add_argument("--no_test_eval", action="store_true")
-    p.add_argument("--resume_dir", default=None)
+    p.add_argument("--resume_dir", default=None,
+                   help="directory of state_* checkpoints to resume from "
+                        "(written to <output_dir>/checkpoints)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="save full train state every N epochs (0 = off)")
     p.add_argument("--interpret", action="store_true",
                    help="IG feature importances on the test set "
                         "(reference train2.py:990 epilogue — run on the "
@@ -60,7 +64,8 @@ def main(argv=None):
     train_cfg = TrainConfig(
         num_epochs=args.num_epochs, lr=args.lr, loss=args.loss,
         patience=args.patience, output_dir=args.output_dir,
-        eval_test_every_epoch=not args.no_test_eval)
+        eval_test_every_epoch=not args.no_test_eval,
+        checkpoint_every=args.checkpoint_every)
 
     from mmer_tpu.utils.profiling import trace
 

@@ -512,6 +512,12 @@ def train_model(data: DatasetArrays, splits: DataSplits,
                         f"Test Macro F1: {row['test_macro_f1']:.4f}")
             print(msg, flush=True)
 
+        # Periodic full-state checkpoint for mid-run resume.
+        if (train_cfg.checkpoint_every
+                and (epoch + 1) % train_cfg.checkpoint_every == 0):
+            ckpt_dir = os.path.join(train_cfg.output_dir, "checkpoints")
+            ckpt.save_train_state(ckpt_dir, state, epoch + 1)
+
         # Early stopping on per-epoch improvement (train2.py:622-633).
         if previous_val_loss - val_loss < train_cfg.min_delta:
             epochs_without_improvement += 1

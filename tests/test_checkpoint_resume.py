@@ -1,0 +1,57 @@
+"""Checkpoint/resume: periodic full-state saves and mid-run restore — the
+failure-recovery capability the reference lacks (SURVEY.md §5:
+save-only, no optimizer state, no resume)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmer_tpu.config import ModelConfig, TrainConfig
+from mmer_tpu.data.pipeline import (DataSplits, DatasetArrays,
+                                    balanced_class_weights,
+                                    stratified_splits)
+from mmer_tpu.train import checkpoint as ckpt
+from mmer_tpu.train.loop import train_model
+
+CFG = ModelConfig(max_seq_len=4, fusion_layers=1, compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    rng = np.random.default_rng(1)
+    n, t = 96, 3
+    labels = rng.integers(0, 6, size=(n,)).astype(np.int32)
+    lengths = rng.integers(1, t + 1, size=(n,)).astype(np.int32)
+    data = DatasetArrays(
+        video=rng.normal(size=(n, t, 768)).astype(np.float32),
+        audio=rng.normal(size=(n, 1024)).astype(np.float32),
+        pad_mask=np.arange(t)[None, :] >= lengths[:, None],
+        labels=labels, lengths=lengths,
+        keys=[str(i) for i in range(n)], max_chunks=t)
+    tr, va, te = stratified_splits(labels, seed=42)
+    return data, DataSplits(tr, va, te, balanced_class_weights(labels[tr]))
+
+
+def test_periodic_checkpoints_and_resume(tiny_dataset, tmp_path):
+    data, splits = tiny_dataset
+    out_dir = str(tmp_path / "run")
+    cfg = TrainConfig(num_epochs=4, lr=1e-3, patience=10 ** 9,
+                      output_dir=out_dir, checkpoint_every=2)
+    out_a = train_model(data, splits, CFG, cfg, batch_size=32,
+                        verbose=False)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    latest = ckpt.latest_checkpoint(ckpt_dir)
+    assert latest is not None and "state_000004" in latest
+
+    # Resume: continues from epoch 4 → only 2 more epochs run.
+    cfg2 = TrainConfig(num_epochs=6, lr=1e-3, patience=10 ** 9,
+                       output_dir=str(tmp_path / "run2"))
+    out_b = train_model(data, splits, CFG, cfg2, batch_size=32,
+                        verbose=False, resume_dir=ckpt_dir)
+    assert len(out_b.results) == 2
+    assert out_b.results[0]["epoch"] == 5
+
+    # The resumed first epoch continues training (loss near the end of run
+    # A, not back at the start).
+    assert out_b.results[0]["train_loss"] < out_a.results[0]["train_loss"]

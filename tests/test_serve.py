@@ -73,6 +73,18 @@ def test_engine_explain(face_video, engine):
     assert set(fi["video"][0]) == {"dimension", "importance"}
 
 
+def test_predict_clip_legacy_contract(face_video, engine):
+    """Whole-clip prediction (reference back-end/app/inference.py:110-163
+    schema): predicted_label/index + top-k scores."""
+    res = engine.predict_clip(face_video, subchunk_size=4, top_k=3)
+    assert res is not None
+    assert set(res) == {"predicted_label", "predicted_index", "scores"}
+    assert len(res["scores"]) == 3
+    assert res["scores"][0]["label"] == res["predicted_label"]
+    probs = [s["probability"] for s in res["scores"]]
+    assert probs == sorted(probs, reverse=True)
+
+
 def test_multipart_parser():
     boundary = "XBOUND"
     body = (f"--{boundary}\r\n"
