@@ -10,8 +10,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
-from typing import Any, Optional
+from dataclasses import dataclass
+from typing import Any
 
 # Canonical label order — matches reference back-end/app/libs/inference.py:21
 # and the final label maps at reference train2.py:338,343-349.

@@ -19,7 +19,6 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
-import tempfile
 import wave as wave_mod
 from typing import Iterator, Optional
 

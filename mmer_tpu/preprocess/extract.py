@@ -23,7 +23,7 @@ import argparse
 import concurrent.futures as cf
 import os
 import time
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -127,7 +127,8 @@ def make_handler(engine: InferenceEngine):
                         payload, filename,
                         subchunk_size=int(q.get("subchunk_size", ["32"])[0]),
                         window_size=int(q.get("window_size", ["5"])[0]),
-                        explain=_query_bool(q, "explain"))
+                        explain=_query_bool(q, "explain"),
+                        detect_every=int(q.get("detect_every", ["1"])[0]))
                 print(f"/infer finished; bounding_box="
                       f"{len(results['bounding_box'])}, "
                       f"inference={len(results['inference'])}", flush=True)

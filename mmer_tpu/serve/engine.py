@@ -28,7 +28,7 @@ and ``window_size`` is clamped to fit, loudly.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -125,8 +125,15 @@ class InferenceEngine:
         return video_feats, audio_feats
 
     def infer_video_file(self, video_path: str, subchunk_size: int = 32,
-                         window_size: int = 5, explain: bool = False) -> Dict:
-        """Reference ``infer_video_file`` contract (inference.py:356-524)."""
+                         window_size: int = 5, explain: bool = False,
+                         detect_every: int = 1) -> Dict:
+        """Reference ``infer_video_file`` contract (inference.py:356-524).
+
+        ``detect_every=N`` runs the (host-bound) face detector on every Nth
+        frame and carries the last bbox forward in between — an N× cut on
+        the dominant serving cost for talking-head video.  Default 1 = the
+        reference's every-frame behavior.
+        """
         import cv2
 
         from mmer_tpu.ops.image import crop_resize_batch
@@ -155,8 +162,11 @@ class InferenceEngine:
 
         detections = []       # (frame, x1, y1, x2, y2, conf)
         bounding_box = []
+        carried = None
         for idx, frame in enumerate(frames):
-            for (x1, y1, x2, y2, conf) in self.detector.detect(frame):
+            if idx % max(detect_every, 1) == 0:
+                carried = self.detector.detect(frame)
+            for (x1, y1, x2, y2, conf) in (carried or []):
                 detections.append((idx, x1, y1, x2, y2, conf))
                 bounding_box.append({
                     "frame": idx, "x1": float(x1), "y1": float(y1),
@@ -300,7 +310,7 @@ class InferenceEngine:
 
     def infer_file_bytes(self, data: bytes, filename: str = "upload.mp4",
                          subchunk_size: int = 32, window_size: int = 5,
-                         explain: bool = False) -> Dict:
+                         explain: bool = False, detect_every: int = 1) -> Dict:
         """Upload wrapper (reference infer_upload_file, inference.py:528-535)."""
         import tempfile
 
@@ -309,7 +319,7 @@ class InferenceEngine:
             with open(path, "wb") as f:
                 f.write(data)
             return self.infer_video_file(path, subchunk_size, window_size,
-                                         explain)
+                                         explain, detect_every=detect_every)
 
 
 def _topk_importance(video_imp: np.ndarray, audio_imp: np.ndarray,

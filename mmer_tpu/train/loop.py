@@ -34,7 +34,7 @@ import json
 import os
 import time
 from datetime import datetime
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from mmer_tpu.config import ModelConfig, TrainConfig, MeshConfig, asdict
+from mmer_tpu.config import ModelConfig, TrainConfig, MeshConfig
 from mmer_tpu.data.pipeline import DataSplits, DatasetArrays
 from mmer_tpu.models.fusion import MultimodalEmotionModel
 from mmer_tpu.ops.losses import focal_loss, weighted_cross_entropy

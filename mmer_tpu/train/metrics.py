@@ -9,7 +9,7 @@ derived from the matrix (validated against sklearn in tests/test_metrics.py).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

@@ -1,0 +1,65 @@
+"""v1 trainer semantics (reference train.py): BatchNorm norm layers,
+FocalLoss criterion, per-sample normalization, NEU oversampling."""
+
+import numpy as np
+import pytest
+
+from mmer_tpu.config import ModelConfig, TrainConfig
+from mmer_tpu.data.pipeline import (DataSplits, DatasetArrays,
+                                    balanced_class_weights,
+                                    normalize_per_sample, oversample_neutral,
+                                    stratified_splits)
+from mmer_tpu.train.loop import train_model
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    rng = np.random.default_rng(2)
+    n, t = 96, 3
+    labels = rng.integers(0, 6, size=(n,)).astype(np.int32)
+    lengths = rng.integers(1, t + 1, size=(n,)).astype(np.int32)
+    data = DatasetArrays(
+        video=rng.normal(size=(n, t, 768)).astype(np.float32),
+        audio=rng.normal(size=(n, 1024)).astype(np.float32),
+        pad_mask=np.arange(t)[None, :] >= lengths[:, None],
+        labels=labels, lengths=lengths,
+        keys=[str(i) for i in range(n)], max_chunks=t)
+    tr, va, te = stratified_splits(labels, seed=42)
+    return data, DataSplits(tr, va, te, balanced_class_weights(labels[tr]))
+
+
+def test_v1_batchnorm_focal_trains(tiny_dataset):
+    """The v1 configuration (train.py:50-51 BatchNorm, :251 FocalLoss) runs
+    through the epoch-loop trainer with mutable batch stats."""
+    data, splits = tiny_dataset
+    cfg = ModelConfig(max_seq_len=4, fusion_layers=1, norm="batchnorm",
+                      compute_dtype="float32")
+    out = train_model(
+        data, splits, cfg,
+        TrainConfig(num_epochs=2, lr=1e-3, loss="focal",
+                    save_checkpoints=False, patience=10 ** 9),
+        batch_size=32, verbose=False)
+    assert len(out.results) == 2
+    assert np.isfinite(out.results[-1]["train_loss"])
+
+
+def test_oversample_neutral_reaches_target():
+    rng = np.random.default_rng(0)
+    labels = np.concatenate([np.zeros(50, np.int32),
+                             rng.integers(1, 6, size=(400,)).astype(np.int32)])
+    train_idx = np.arange(len(labels), dtype=np.int32)
+    out = oversample_neutral(train_idx, labels, target_count=120, seed=0)
+    # NEU count reaches the target (train.py:199-211 semantics).
+    assert (labels[out] == 0).sum() == 120
+    # non-NEU samples untouched
+    assert (labels[out] != 0).sum() == 400
+
+
+def test_per_sample_normalization():
+    rng = np.random.default_rng(1)
+    videos = [rng.normal(loc=5.0, size=(4, 16)).astype(np.float32)]
+    audios = rng.normal(loc=-2.0, size=(2, 8)).astype(np.float32)
+    nv, na, _ = normalize_per_sample(videos, audios)
+    # v1 normalizes each sample to ~zero mean / unit std (train.py:176-177)
+    np.testing.assert_allclose(nv[0].mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(na.mean(axis=1), 0.0, atol=1e-5)
