@@ -25,6 +25,8 @@ REF_SAMPLES_PER_SEC = 4000.0
 
 
 def main() -> None:
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import numpy as np
 

@@ -273,7 +273,19 @@ class AudioEmbedder:
         if params is None:
             params = self._seeded_params()
         self.params = params
-        self._apply = jax.jit(self.model.apply)
+
+        def apply_pool(p, waves, frame_mask):
+            """Full model + masked mean-pool + L2 norm ON DEVICE — only the
+            (B, 1024) embeddings ever cross to host (pooling on host would
+            ship the entire (B, T, 1024) hidden tensor per batch)."""
+            hidden = self.model.apply(p, waves, frame_mask)
+            keep = (~frame_mask)[:, :, None].astype(hidden.dtype)
+            summed = jnp.sum(hidden * keep, axis=1)
+            emb = summed / jnp.maximum(jnp.sum(keep, axis=1), 1.0)
+            norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
+            return emb / jnp.maximum(norm, 1e-12)
+
+        self._apply_pool = jax.jit(apply_pool)
 
     def _seeded_params(self) -> dict:
         dummy = jnp.zeros((1, self.cfg.sample_rate), jnp.float32)
@@ -291,14 +303,9 @@ class AudioEmbedder:
         frame_lens = np.asarray(
             [feat_extract_output_length(cfg, int(l)) for l in lengths])
         mask = np.arange(t_out)[None, :] >= frame_lens[:, None]
-        hidden = self._apply(self.params, jnp.asarray(waves),
-                             jnp.asarray(mask))
-        hidden = np.asarray(hidden, np.float32)
-        keep = (~mask)[:, :, None].astype(np.float32)
-        summed = (hidden * keep).sum(axis=1)
-        emb = summed / np.maximum(keep.sum(axis=1), 1.0)
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        return emb / np.maximum(norm, 1e-12)
+        emb = self._apply_pool(self.params, jnp.asarray(waves),
+                               jnp.asarray(mask))
+        return np.asarray(emb, np.float32)
 
     def embed_batch(self, waveforms: Sequence[np.ndarray]) -> np.ndarray:
         """list of 1-D float waveforms (16 kHz) → (B, 1024) float32."""

@@ -199,6 +199,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     pa.add_argument("--batch_size", type=int, default=8)
 
     args = parser.parse_args(argv)
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     if args.modality == "video":
         extractor = VideoFeatureExtractor(device_batch=args.device_batch,
                                           params_path=args.params)

@@ -194,6 +194,8 @@ def build_fastapi_app(engine: Optional[InferenceEngine] = None):
 
 
 def main():
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(description="mmer_tpu serving API")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)

@@ -15,6 +15,8 @@ from mmer_tpu.train.loop import train_model
 
 
 def main(argv=None):
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser(
         description="Train the multimodal emotion recognition model on TPU")
     p.add_argument("--batch_size", type=int, default=128)
