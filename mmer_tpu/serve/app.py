@@ -202,10 +202,13 @@ def main():
     parser.add_argument("--fusion_params", default=None)
     parser.add_argument("--vivit_params", default=None)
     parser.add_argument("--wav_params", default=None)
+    parser.add_argument("--norm_stats", default=None,
+                        help="norm_stats_*.npz from the training run")
     args = parser.parse_args()
     engine = InferenceEngine(fusion_params_path=args.fusion_params,
                              vivit_params_path=args.vivit_params,
-                             wav_params_path=args.wav_params)
+                             wav_params_path=args.wav_params,
+                             norm_stats_path=args.norm_stats)
     serve(engine, args.host, args.port)
 
 

@@ -47,6 +47,7 @@ class InferenceEngine:
                  wav_params_path: Optional[str] = None,
                  detector=None,
                  norm_stats: Optional[dict] = None,
+                 norm_stats_path: Optional[str] = None,
                  labels: Sequence[str] = LABELS):
         self.model_cfg = model_cfg or ModelConfig()
         self.vivit_cfg = vivit_cfg or ViViTConfig()
@@ -55,6 +56,13 @@ class InferenceEngine:
         self.vivit_params_path = vivit_params_path
         self.wav_params_path = wav_params_path
         self.labels = list(labels)
+        if norm_stats is None and norm_stats_path:
+            # Training-time global z-score stats (train/loop.py
+            # _save_norm_stats).  The reference trains on z-scored features
+            # but serves RAW extractor outputs — a silent train/serve skew
+            # this closes.
+            with np.load(norm_stats_path) as z:
+                norm_stats = {k: z[k] for k in z.files}
         self.norm_stats = norm_stats or {}
         self._detector = detector
         self._video_extractor = None

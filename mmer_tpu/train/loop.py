@@ -123,14 +123,21 @@ def build_train_epoch(model: MultimodalEmotionModel,
                       optimizer: optax.GradientTransformation,
                       train_cfg: TrainConfig,
                       batch_size: int,
-                      batch_sharding=None) -> Callable:
-    """One full epoch as a single jitted function."""
+                      mesh=None) -> Callable:
+    """One full epoch as a single jitted function.
+
+    With a multi-device ``mesh``, every gathered minibatch is constrained
+    to batch-sharding over the data axis, so the fwd/bwd runs data-parallel
+    and XLA inserts the gradient psum over ICI.
+    """
     loss_fn = _loss_fn(train_cfg)
+    shard_batches = mesh is not None and mesh.size > 1
 
     def gather(arr, idx):
         out = jnp.take(arr, idx, axis=0)
-        if batch_sharding is not None:
-            out = jax.lax.with_sharding_constraint(out, batch_sharding)
+        if shard_batches:
+            out = jax.lax.with_sharding_constraint(
+                out, batch_spec(mesh, out.ndim))
         return out
 
     def epoch(state: TrainState, data: Dict[str, jax.Array],
@@ -228,6 +235,21 @@ def build_eval(model: MultimodalEmotionModel, train_cfg: TrainConfig,
     return jax.jit(evaluate)
 
 
+def _save_norm_stats(data: DatasetArrays, output_dir: str,
+                     stem: str) -> Optional[str]:
+    """Persist the training-time global z-score stats next to the model
+    artifacts so SERVING normalizes features the same way.  The reference
+    never does this — it trains on z-scored features (train2.py:362-378)
+    but serves raw extractor outputs (libs/inference.py has no
+    normalization at all), a silent train/serve skew."""
+    if data.video_mean is None:
+        return None
+    path = os.path.join(output_dir, f"norm_stats_{stem}.npz")
+    np.savez(path, video_mean=data.video_mean, video_std=data.video_std,
+             audio_mean=data.audio_mean, audio_std=data.audio_std)
+    return path
+
+
 def _train_model_fused(data: DatasetArrays, splits: DataSplits,
                        model_cfg: ModelConfig, train_cfg: TrainConfig,
                        batch_size: int, seed: int = 0,
@@ -309,7 +331,7 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
             print("Confusion matrix (rows = true, cols = pred):")
             print(confusion.astype(int))
 
-    results_path = best_path = final_path = None
+    results_path = best_path = final_path = stats_path = None
     if train_cfg.save_checkpoints:
         os.makedirs(train_cfg.output_dir, exist_ok=True)
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -330,6 +352,7 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
                                   f"final_model_{stem}.msgpack")
         ckpt.save_params_msgpack(best_path, best_params)
         ckpt.save_params_msgpack(final_path, final_params)
+        stats_path = _save_norm_stats(data, train_cfg.output_dir, stem)
         if verbose:
             print(f"Training results saved to {results_path}")
 
@@ -338,7 +361,7 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
         best_epoch=best_epoch, best_val_loss=best_val_loss,
         results_path=results_path, best_model_path=best_path,
         final_model_path=final_path, hyperparameters=hyperparameters,
-        confusion=confusion)
+        confusion=confusion, norm_stats_path=stats_path)
 
 
 @dataclasses.dataclass
@@ -353,6 +376,7 @@ class TrainOutput:
     final_model_path: Optional[str]
     hyperparameters: dict
     confusion: Optional[np.ndarray] = None
+    norm_stats_path: Optional[str] = None
 
 
 def train_model(data: DatasetArrays, splits: DataSplits,
@@ -414,11 +438,9 @@ def train_model(data: DatasetArrays, splits: DataSplits,
             if verbose:
                 print(f"Resumed from {latest} at epoch {start_epoch}")
 
-    bsh = batch_spec(mesh, 3) if mesh.shape[mesh.axis_names[0]] > 1 else None
     train_epoch = build_train_epoch(model, optimizer, train_cfg, batch_size,
-                                    batch_sharding=None)
+                                    mesh=mesh)
     evaluate = build_eval(model, train_cfg, model_cfg.num_classes)
-    del bsh  # batch sharding is exercised by parallel tests / dryrun
 
     scheduler = PlateauScheduler(train_cfg.scheduler_factor,
                                  train_cfg.scheduler_patience)
@@ -543,7 +565,7 @@ def train_model(data: DatasetArrays, splits: DataSplits,
             print(confusion.astype(int))
 
     # Artifacts with the reference's naming scheme (train2.py:748-774).
-    results_path = best_path = final_path = None
+    results_path = best_path = final_path = stats_path = None
     if train_cfg.save_checkpoints:
         os.makedirs(train_cfg.output_dir, exist_ok=True)
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -565,6 +587,7 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         if best_params is not None:
             ckpt.save_params_msgpack(best_path, best_params)
         ckpt.save_params_msgpack(final_path, state.params)
+        stats_path = _save_norm_stats(data, train_cfg.output_dir, stem)
         if verbose:
             print(f"Training results saved to {results_path}")
 
@@ -573,4 +596,4 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         best_epoch=best_epoch, best_val_loss=best_val_loss,
         results_path=results_path, best_model_path=best_path,
         final_model_path=final_path, hyperparameters=hyperparameters,
-        confusion=confusion)
+        confusion=confusion, norm_stats_path=stats_path)
