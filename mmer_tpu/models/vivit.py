@@ -133,9 +133,20 @@ class ViViTFeatureExtractor(nn.Module):
             x = jnp.concatenate(
                 [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, d)), x], axis=1)
             n = n + 1
+        # pos_embed sized for the configured max chunk (num_frames); shorter
+        # chunks slice it — the reference's ``pos_embedding[:, :x.shape[1]]``
+        # semantics (video_extractor.py:98), which lets serving use smaller
+        # subchunk_size values than the extraction default.
+        max_tokens = ((cfg.num_frames // cfg.tubelet_size)
+                      * (cfg.image_size[0] // cfg.patch_size[0])
+                      * (cfg.image_size[1] // cfg.patch_size[1])
+                      + (1 if cfg.pool == "cls" else 0))
+        if n > max_tokens:
+            raise ValueError(f"chunk produces {n} tokens > configured "
+                             f"maximum {max_tokens}")
         pos = self.param("pos_embed", nn.initializers.normal(stddev=1.0),
-                         (1, n, d), jnp.float32)
-        x = x + pos.astype(x.dtype)
+                         (1, max_tokens, d), jnp.float32)
+        x = x + pos[:, :n, :].astype(x.dtype)
 
         # Remat per block: activations for S=1569 × depth 12 would otherwise
         # dominate HBM when batching many chunks.

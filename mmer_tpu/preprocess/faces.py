@@ -39,8 +39,11 @@ class HaarFaceDetector:
     function of the detection's neighbor count (Haar has no calibrated
     score)."""
 
-    def __init__(self, scale_factor: float = 1.2, min_neighbors: int = 3,
+    def __init__(self, scale_factor: float = 1.1, min_neighbors: int = 3,
                  cascade_path: Optional[str] = None, min_size: int = 48):
+        # scale_factor 1.1 (OpenCV's classic default): coarser pyramids
+        # (1.2+) can step right over a face's true scale and miss it —
+        # observed on 224² face-crop clips where the face spans ~90 px.
         from mmer_tpu.preprocess.cascade import HaarCascade, find_cascade_file
 
         path = cascade_path or find_cascade_file()

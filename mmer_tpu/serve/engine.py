@@ -111,7 +111,10 @@ class InferenceEngine:
                                 jnp.zeros((1, t), bool))
             if self.fusion_params_path and os.path.exists(
                     self.fusion_params_path):
-                params = load_params_msgpack(self.fusion_params_path, params)
+                # Checkpoints store the bare params tree
+                # (train/loop.py saves state.params / best_params).
+                params = {"params": load_params_msgpack(
+                    self.fusion_params_path, params["params"])}
             elif self.fusion_params_path:
                 raise FileNotFoundError(
                     f"fusion checkpoint not found: {self.fusion_params_path}"

@@ -85,6 +85,38 @@ def test_predict_clip_legacy_contract(face_video, engine):
     assert probs == sorted(probs, reverse=True)
 
 
+def test_fusion_checkpoint_loading(tmp_path, face_video):
+    """Engine must load best_model_*.msgpack files as written by the
+    trainer (bare params tree) — and fail LOUDLY on a missing path
+    (reference silently serves random weights, inference.py:236-265)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmer_tpu.models.fusion import MultimodalEmotionModel
+    from mmer_tpu.train.checkpoint import save_params_msgpack
+
+    model = MultimodalEmotionModel(TINY_FUSION)
+    t = TINY_FUSION.max_seq_len - 1
+    variables = model.init({"params": jax.random.PRNGKey(7)},
+                           jnp.zeros((1, t, 768)), jnp.zeros((1, 1024)),
+                           jnp.zeros((1, t), bool))
+    path = str(tmp_path / "best_model_test.msgpack")
+    save_params_msgpack(path, variables["params"])   # trainer's format
+
+    eng = InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
+                          fusion_params_path=path)
+    _, params, _ = eng.fusion
+    leaf = params["params"]["fusion"]["video_proj"]["kernel"]
+    np.testing.assert_array_equal(
+        np.asarray(leaf),
+        np.asarray(variables["params"]["fusion"]["video_proj"]["kernel"]))
+
+    bad = InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
+                          fusion_params_path=str(tmp_path / "missing.msgpack"))
+    with pytest.raises(FileNotFoundError):
+        _ = bad.fusion
+
+
 def test_multipart_parser():
     boundary = "XBOUND"
     body = (f"--{boundary}\r\n"
