@@ -204,11 +204,15 @@ def main():
     parser.add_argument("--wav_params", default=None)
     parser.add_argument("--norm_stats", default=None,
                         help="norm_stats_*.npz from the training run")
+    parser.add_argument("--warmup", action="store_true",
+                        help="pre-compile default-request graphs at startup")
     args = parser.parse_args()
     engine = InferenceEngine(fusion_params_path=args.fusion_params,
                              vivit_params_path=args.vivit_params,
                              wav_params_path=args.wav_params,
                              norm_stats_path=args.norm_stats)
+    if args.warmup:
+        engine.warmup()
     serve(engine, args.host, args.port)
 
 

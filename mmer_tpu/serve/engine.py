@@ -272,6 +272,29 @@ class InferenceEngine:
 
         return {"bounding_box": bounding_box, "inference": inference}
 
+    def warmup(self, subchunk_size: int = 32, window_size: int = 5) -> None:
+        """Pre-compile the default-request compute graphs (ViViT at the
+        subchunk shape, Wav2Vec2 at 1s/10s buckets, fusion at each window
+        length, IG) so the first real upload doesn't pay cold-compile
+        latency.  With the persistent compile cache this is fast after the
+        first-ever server start on a machine."""
+        import numpy as np
+
+        max_tokens = self.model_cfg.max_seq_len - 1
+        window_size = min(window_size, max_tokens)
+        chunks = np.zeros((1, subchunk_size, *self.vivit_cfg.image_size, 3),
+                          np.float32)
+        sub_feats = self.video_extractor.embed_chunks(chunks)
+        self.audio_embedder.embed_batch(
+            [np.zeros(self.wav_cfg.sample_rate, np.float32)])
+        _, params, apply = self.fusion
+        for wl in range(1, window_size + 1):
+            video_w = np.tile(sub_feats[:1][None], (1, wl, 1))
+            audio_w = np.zeros((1, self.model_cfg.audio_dim), np.float32)
+            mask = np.zeros((1, wl), bool)
+            apply(params, video_w.reshape(1, wl, -1), audio_w, mask)
+        print("engine warmup complete", flush=True)
+
     def predict_clip(self, video_path: str, subchunk_size: int = 32,
                      top_k: int = 3) -> Optional[Dict]:
         """Whole-clip (non-windowed) prediction — the reference's legacy

@@ -85,6 +85,10 @@ def test_predict_clip_legacy_contract(face_video, engine):
     assert probs == sorted(probs, reverse=True)
 
 
+def test_engine_warmup(engine):
+    engine.warmup(subchunk_size=4, window_size=2)
+
+
 def test_fusion_checkpoint_loading(tmp_path, face_video):
     """Engine must load best_model_*.msgpack files as written by the
     trainer (bare params tree) — and fail LOUDLY on a missing path
