@@ -47,9 +47,12 @@ def decode_frames(video_path: str, size: Tuple[int, int] = (224, 224),
     return np.stack(frames)
 
 
-def frames_to_chunks(frames: np.ndarray, chunk_size: int = 32) -> np.ndarray:
-    """(T, H, W, C) → (ceil(T/chunk), chunk, H, W, C) float32 in [0, 1],
-    last chunk padded by repeating the final frame."""
+def frames_to_chunks(frames: np.ndarray, chunk_size: int = 32,
+                     dtype: str = "float32") -> np.ndarray:
+    """(T, H, W, C) → (ceil(T/chunk), chunk, H, W, C), last chunk padded by
+    repeating the final frame.  ``dtype='float32'`` scales to [0, 1];
+    ``'uint8'`` keeps raw bytes (the extractor normalizes on device — 4×
+    less host→device transfer)."""
     t = frames.shape[0]
     num_chunks = -(-t // chunk_size)
     pad = num_chunks * chunk_size - t
@@ -57,15 +60,18 @@ def frames_to_chunks(frames: np.ndarray, chunk_size: int = 32) -> np.ndarray:
         frames = np.concatenate(
             [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
     chunks = frames.reshape(num_chunks, chunk_size, *frames.shape[1:])
+    if dtype == "uint8":
+        return np.ascontiguousarray(chunks).astype(np.uint8)
     return chunks.astype(np.float32) / 255.0
 
 
 def load_video_chunks(video_path: str, chunk_size: int = 32,
-                      size: Tuple[int, int] = (224, 224)) -> Optional[np.ndarray]:
+                      size: Tuple[int, int] = (224, 224),
+                      dtype: str = "float32") -> Optional[np.ndarray]:
     frames = decode_frames(video_path, size)
     if frames is None:
         return None
-    return frames_to_chunks(frames, chunk_size)
+    return frames_to_chunks(frames, chunk_size, dtype)
 
 
 def video_fps(video_path: str) -> float:

@@ -204,7 +204,7 @@ class InferenceEngine:
 
             # 3) subchunks + ONE batched ViViT pass ----------------------
             chunks = frames_to_chunks((crops * 255).astype(np.uint8),
-                                      subchunk_size)
+                                      subchunk_size, dtype="uint8")
             n_sub = chunks.shape[0]
             sub_feats = self.video_extractor.embed_chunks(chunks)  # (n,768)
 
