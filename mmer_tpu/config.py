@@ -89,6 +89,8 @@ class TrainConfig:
     # "weighted_ce" (v2, train2.py:523) or "focal" (v1, train.py:251).
     loss: str = "weighted_ce"
     focal_gamma: float = 2.0
+    # Opt-in improvement beyond the reference (0.0 = exact reference loss).
+    label_smoothing: float = 0.0
     output_dir: str = "training_runs_2"
     save_checkpoints: bool = True
     # Periodic full-state (params + optimizer + rng) checkpoints for

@@ -21,16 +21,22 @@ import jax
 import jax.numpy as jnp
 
 
-def _per_sample_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+def _per_sample_ce(logits: jnp.ndarray, labels: jnp.ndarray,
+                   label_smoothing: float = 0.0) -> jnp.ndarray:
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    if label_smoothing > 0.0:
+        # torch CrossEntropyLoss(label_smoothing=ε) semantics.
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    return nll
 
 
 def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
                            class_weights: Optional[jnp.ndarray] = None,
-                           sample_weight: Optional[jnp.ndarray] = None
-                           ) -> jnp.ndarray:
-    ce = _per_sample_ce(logits, labels)
+                           sample_weight: Optional[jnp.ndarray] = None,
+                           label_smoothing: float = 0.0) -> jnp.ndarray:
+    ce = _per_sample_ce(logits, labels, label_smoothing)
     w = jnp.ones_like(ce) if class_weights is None else class_weights[labels]
     if sample_weight is not None:
         w = w * sample_weight

@@ -57,7 +57,7 @@ class FusedCarry(NamedTuple):
 def _loss_fn(cfg: TrainConfig) -> Callable:
     if cfg.loss == "weighted_ce":
         return lambda logits, labels, cw, sw: weighted_cross_entropy(
-            logits, labels, cw, sw)
+            logits, labels, cw, sw, label_smoothing=cfg.label_smoothing)
     if cfg.loss == "focal":
         return lambda logits, labels, cw, sw: focal_loss(
             logits, labels, gamma=cfg.focal_gamma, alpha=None,

@@ -53,3 +53,24 @@ def test_sample_weight_zero_entries_do_not_contribute():
     masked_f = float(focal_loss(logits, labels, sample_weight=sw))
     subset_f = float(focal_loss(logits[:4], labels[:4]))
     assert abs(masked_f - subset_f) < 1e-6
+
+
+def test_label_smoothing_matches_torch():
+    """weighted_cross_entropy(label_smoothing=ε) must equal
+    torch.nn.CrossEntropyLoss(label_smoothing=ε) (unweighted case)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    import jax.numpy as jnp
+    from mmer_tpu.ops.losses import weighted_cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(8, 6)).astype(np.float32)
+    labels = rng.integers(0, 6, size=(8,))
+    for eps in (0.0, 0.05, 0.2):
+        want = torch.nn.CrossEntropyLoss(label_smoothing=eps)(
+            torch.from_numpy(logits), torch.from_numpy(labels)).item()
+        got = float(weighted_cross_entropy(
+            jnp.asarray(logits), jnp.asarray(labels),
+            label_smoothing=eps))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
