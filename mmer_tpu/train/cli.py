@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--output_dir", default="training_runs_2")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--patience", type=int, default=8)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--label_smoothing", type=float, default=0.0)
+    p.add_argument("--fusion_dropout", type=float, default=0.1)
+    p.add_argument("--classifier_dropout", type=float, default=0.1)
     p.add_argument("--no_test_eval", action="store_true")
     p.add_argument("--resume_dir", default=None,
                    help="directory of state_* checkpoints to resume from "
@@ -62,12 +66,16 @@ def main(argv=None):
     print(f"Samples: {data.num_samples}  max_chunks: {data.max_chunks}  "
           f"train/val/test: {len(splits.train)}/{len(splits.val)}/{len(splits.test)}")
 
-    model_cfg = ModelConfig(max_seq_len=data.max_chunks + 1, norm=args.norm)
+    model_cfg = ModelConfig(max_seq_len=data.max_chunks + 1, norm=args.norm,
+                            fusion_dropout=args.fusion_dropout,
+                            classifier_dropout=args.classifier_dropout)
     train_cfg = TrainConfig(
         num_epochs=args.num_epochs, lr=args.lr, loss=args.loss,
         patience=args.patience, output_dir=args.output_dir,
         eval_test_every_epoch=not args.no_test_eval,
-        checkpoint_every=args.checkpoint_every)
+        checkpoint_every=args.checkpoint_every,
+        weight_decay=args.weight_decay,
+        label_smoothing=args.label_smoothing)
 
     from mmer_tpu.utils.profiling import trace
 
