@@ -260,6 +260,10 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
     if model_cfg.norm == "batchnorm":
         raise ValueError("fused mode does not support batchnorm models; "
                          "use fused=False")
+    if train_cfg.checkpoint_every:
+        raise ValueError("mid-run checkpoints need the epoch loop "
+                         "(fused=False): the fused run never returns to "
+                         "the host between epochs")
     model = MultimodalEmotionModel(model_cfg)
     optimizer = make_optimizer(train_cfg)
 

@@ -85,6 +85,15 @@ def test_predict_clip_legacy_contract(face_video, engine):
     assert probs == sorted(probs, reverse=True)
 
 
+def test_window_size_clamped_to_model(face_video, engine):
+    """window_size beyond the fusion model's video slots is clamped loudly
+    (the reference instead crashes its checkpoint load and silently serves
+    random weights, inference.py:236-265)."""
+    res = engine.infer_video_file(face_video, subchunk_size=4,
+                                  window_size=50)
+    assert len(res["inference"]) == 2   # still produces per-subchunk windows
+
+
 def test_engine_warmup(engine):
     engine.warmup(subchunk_size=4, window_size=2)
 
