@@ -1,9 +1,14 @@
-import React from "react";
-import ReactDOM from "react-dom/client";
+// SPA bootstrap: mount <App/> under strict mode.
+import { StrictMode } from "react";
+import { createRoot } from "react-dom/client";
 import App from "./App";
 
-ReactDOM.createRoot(document.getElementById("root")!).render(
-  <React.StrictMode>
+const container = document.getElementById("root");
+if (!container) {
+  throw new Error("missing #root mount point");
+}
+createRoot(container).render(
+  <StrictMode>
     <App />
-  </React.StrictMode>,
+  </StrictMode>,
 );
