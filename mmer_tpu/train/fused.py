@@ -179,8 +179,10 @@ def build_fused_train(model: MultimodalEmotionModel,
             sched_bad = jnp.where(improved, 0, c.sched_bad + 1)
             reduce_now = sched_bad > train_cfg.scheduler_patience
             lr = opt_state.hyperparams["learning_rate"]
-            new_lr = jnp.where(reduce_now, lr * train_cfg.scheduler_factor,
-                               lr)
+            proposed = lr * train_cfg.scheduler_factor
+            # torch's eps=1e-8 rule: skip reductions smaller than eps.
+            new_lr = jnp.where(reduce_now & (lr - proposed > 1e-8),
+                               proposed, lr)
             sched_bad = jnp.where(reduce_now, 0, sched_bad)
             hyper = dict(opt_state.hyperparams)
             hyper["learning_rate"] = new_lr

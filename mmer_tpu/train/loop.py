@@ -87,12 +87,17 @@ def get_learning_rate(opt_state) -> float:
 
 class PlateauScheduler:
     """torch ``ReduceLROnPlateau(mode='min', factor, patience)`` semantics
-    with the default relative threshold 1e-4 (reference train2.py:526)."""
+    with the default relative threshold 1e-4 (reference train2.py:526) and
+    torch's ``eps=1e-8`` rule: a reduction smaller than eps is skipped
+    (this effectively floors the lr; trajectory parity is tested against
+    the real torch scheduler in tests/test_scheduler_torch_parity.py)."""
 
-    def __init__(self, factor: float, patience: int, threshold: float = 1e-4):
+    def __init__(self, factor: float, patience: int, threshold: float = 1e-4,
+                 eps: float = 1e-8):
         self.factor = factor
         self.patience = patience
         self.threshold = threshold
+        self.eps = eps
         self.best = float("inf")
         self.num_bad = 0
 
@@ -104,7 +109,9 @@ class PlateauScheduler:
             self.num_bad += 1
         if self.num_bad > self.patience:
             self.num_bad = 0
-            return lr * self.factor
+            new_lr = lr * self.factor
+            if lr - new_lr > self.eps:
+                return new_lr
         return lr
 
 
