@@ -91,6 +91,9 @@ class TrainConfig:
     focal_gamma: float = 2.0
     # Opt-in improvement beyond the reference (0.0 = exact reference loss).
     label_smoothing: float = 0.0
+    # Best-model selection: "val_loss" (v2, train2.py:617-620) or
+    # "val_acc" (v1, train.py:334-338).
+    best_metric: str = "val_loss"
     output_dir: str = "training_runs_2"
     save_checkpoints: bool = True
     # Periodic full-state (params + optimizer + rng) checkpoints for

@@ -188,12 +188,17 @@ def build_fused_train(model: MultimodalEmotionModel,
             hyper["learning_rate"] = new_lr
             opt_state = opt_state._replace(hyperparams=hyper)
 
-            # best-model tracking by val loss.
-            is_best = val_loss < c.best_val_loss
+            # best-model tracking: val loss (v2, train2.py:617-620) or
+            # negated val accuracy (v1, train.py:334-338).
+            if train_cfg.best_metric == "val_loss":
+                score = val_loss
+            else:
+                score = -jnp.trace(val_cm) / jnp.maximum(jnp.sum(val_cm), 1.0)
+            is_best = score < c.best_val_loss
             best_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(is_best, new, old),
                 params, c.best_params)
-            best_val_loss = jnp.where(is_best, val_loss, c.best_val_loss)
+            best_val_loss = jnp.where(is_best, score, c.best_val_loss)
             best_epoch = jnp.where(is_best, c.epoch + 1, c.best_epoch)
 
             # early stopping on per-epoch improvement.

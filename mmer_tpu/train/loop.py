@@ -502,8 +502,11 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         lr = scheduler.step(val_loss, lr)
         state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
-        if val_loss < best_val_loss:
-            best_val_loss = val_loss
+        # best-model selection: v2 tracks val loss (train2.py:617-620),
+        # v1 tracks val accuracy (train.py:334-338).
+        score = val_loss if train_cfg.best_metric == "val_loss" else -val_acc
+        if score < best_val_loss:
+            best_val_loss = score
             # Real copy: state.params buffers are donated to the next epoch.
             best_params = jax.tree_util.tree_map(jnp.copy, state.params)
             best_epoch = epoch + 1

@@ -63,3 +63,17 @@ def test_per_sample_normalization():
     # v1 normalizes each sample to ~zero mean / unit std (train.py:176-177)
     np.testing.assert_allclose(nv[0].mean(axis=0), 0.0, atol=1e-5)
     np.testing.assert_allclose(na.mean(axis=1), 0.0, atol=1e-5)
+
+
+def test_v1_best_metric_val_acc(tiny_dataset):
+    """v1 selects the best model by val ACCURACY (train.py:334-338)."""
+    data, splits = tiny_dataset
+    cfg = ModelConfig(max_seq_len=4, fusion_layers=1,
+                      compute_dtype="float32")
+    out = train_model(
+        data, splits, cfg,
+        TrainConfig(num_epochs=3, lr=1e-3, best_metric="val_acc",
+                    save_checkpoints=False, patience=10 ** 9),
+        batch_size=32, verbose=False, fused=True)
+    accs = [r["val_acc"] for r in out.results]
+    assert out.best_epoch == int(np.argmax(accs)) + 1
