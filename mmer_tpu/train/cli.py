@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--label_smoothing", type=float, default=0.0)
     p.add_argument("--fusion_dropout", type=float, default=0.1)
     p.add_argument("--classifier_dropout", type=float, default=0.1)
+    p.add_argument("--best_metric", choices=["val_loss", "val_acc"],
+                   default="val_loss",
+                   help="best-model selection: val_loss (v2) or val_acc (v1)")
     p.add_argument("--no_test_eval", action="store_true")
     p.add_argument("--resume_dir", default=None,
                    help="directory of state_* checkpoints to resume from "
@@ -75,7 +78,8 @@ def main(argv=None):
         eval_test_every_epoch=not args.no_test_eval,
         checkpoint_every=args.checkpoint_every,
         weight_decay=args.weight_decay,
-        label_smoothing=args.label_smoothing)
+        label_smoothing=args.label_smoothing,
+        best_metric=args.best_metric)
 
     from mmer_tpu.utils.profiling import trace
 
