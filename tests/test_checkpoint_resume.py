@@ -36,21 +36,21 @@ def tiny_dataset():
 def test_periodic_checkpoints_and_resume(tiny_dataset, tmp_path):
     data, splits = tiny_dataset
     out_dir = str(tmp_path / "run")
-    cfg = TrainConfig(num_epochs=4, lr=1e-3, patience=10 ** 9,
-                      output_dir=out_dir, checkpoint_every=2)
+    cfg = TrainConfig(num_epochs=2, lr=1e-3, patience=10 ** 9,
+                      output_dir=out_dir, checkpoint_every=1)
     out_a = train_model(data, splits, CFG, cfg, batch_size=32,
                         verbose=False)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     latest = ckpt.latest_checkpoint(ckpt_dir)
-    assert latest is not None and "state_000004" in latest
+    assert latest is not None and "state_000002" in latest
 
-    # Resume: continues from epoch 4 → only 2 more epochs run.
-    cfg2 = TrainConfig(num_epochs=6, lr=1e-3, patience=10 ** 9,
+    # Resume: continues from epoch 2 → only 1 more epoch runs.
+    cfg2 = TrainConfig(num_epochs=3, lr=1e-3, patience=10 ** 9,
                        output_dir=str(tmp_path / "run2"))
     out_b = train_model(data, splits, CFG, cfg2, batch_size=32,
                         verbose=False, resume_dir=ckpt_dir)
-    assert len(out_b.results) == 2
-    assert out_b.results[0]["epoch"] == 5
+    assert len(out_b.results) == 1
+    assert out_b.results[0]["epoch"] == 3
 
     # The resumed first epoch continues training (loss near the end of run
     # A, not back at the start).
