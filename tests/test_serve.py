@@ -181,6 +181,35 @@ def test_http_infer_roundtrip(live_server, face_video):
     assert res["inference"] and "feature_importance" in res["inference"][0]
 
 
+def test_garbage_upload_returns_empty_result(engine):
+    """Undecodable bytes → empty result, not a crash (the cv2 decode
+    failure path, reference load_video None-return semantics)."""
+    res = engine.infer_file_bytes(b"\x00\xffnot-a-video\x13\x37" * 100,
+                                  "junk.mp4")
+    assert res == {"bounding_box": [], "inference": []}
+
+
+def test_multipart_parser_fuzz():
+    """Random byte soup must parse to something or raise ValueError —
+    never crash with another exception type."""
+    import random
+
+    rnd = random.Random(0)
+    for _ in range(200):
+        body = bytes(rnd.getrandbits(8) for _ in range(rnd.randint(0, 400)))
+        ctype = rnd.choice([
+            "multipart/form-data; boundary=x",
+            "multipart/form-data; boundary=" + "b" * rnd.randint(1, 40),
+            "multipart/form-data",
+            "",
+        ])
+        try:
+            out = parse_multipart(body, ctype)
+            assert isinstance(out, dict)
+        except ValueError:
+            pass
+
+
 def test_http_infer_missing_file_is_422(live_server):
     req = urllib.request.Request(
         live_server + "/infer/", data=b"--x--",
