@@ -99,9 +99,12 @@ def main() -> None:
         return final
 
     once()                       # compile warmup
-    elapsed = min(
-        (lambda t0: (once(), time.time() - t0)[1])(time.time())
-        for _ in range(3))       # best-of-3: tunnel latency varies run-to-run
+    # best-of-3: host↔device latency varies run-to-run on tunneled chips
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        once()
+        elapsed = min(elapsed, time.time() - t0)
     samples_per_sec = len(splits.train) * epochs / elapsed
 
     print(json.dumps({

@@ -34,7 +34,7 @@ import optax
 
 from mmer_tpu.config import ModelConfig, TrainConfig
 from mmer_tpu.models.fusion import MultimodalEmotionModel
-from mmer_tpu.ops.losses import focal_loss, weighted_cross_entropy
+from mmer_tpu.train.loop import _loss_fn, _pad_batches
 from mmer_tpu.train.metrics import confusion_matrix
 
 
@@ -52,25 +52,6 @@ class FusedCarry(NamedTuple):
     prev_val_loss: jax.Array    # early-stopping state
     no_improve: jax.Array
     metrics: Dict[str, jax.Array]   # preallocated (E, ...) buffers
-
-
-def _loss_fn(cfg: TrainConfig) -> Callable:
-    if cfg.loss == "weighted_ce":
-        return lambda logits, labels, cw, sw: weighted_cross_entropy(
-            logits, labels, cw, sw, label_smoothing=cfg.label_smoothing)
-    if cfg.loss == "focal":
-        return lambda logits, labels, cw, sw: focal_loss(
-            logits, labels, gamma=cfg.focal_gamma, alpha=None,
-            sample_weight=sw)
-    raise ValueError(f"unknown loss {cfg.loss}")
-
-
-def _pad_batches(idx: jax.Array, batch: int) -> jax.Array:
-    n = idx.shape[0]
-    steps = -(-n // batch)
-    padded = jnp.concatenate(
-        [idx, jnp.full((steps * batch - n,), -1, jnp.int32)])
-    return padded.reshape(steps, batch)
 
 
 def build_fused_train(model: MultimodalEmotionModel,

@@ -126,6 +126,16 @@ def _loss_fn(cfg: TrainConfig):
     raise ValueError(f"unknown loss {cfg.loss}")
 
 
+def _pad_batches(idx: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """Pad an index vector with -1 sentinels and reshape to (steps, batch)
+    — the fixed-shape scan layout shared by every trainer here."""
+    n = idx.shape[0]
+    steps = -(-n // batch)
+    padded = jnp.concatenate(
+        [idx, jnp.full((steps * batch - n,), -1, jnp.int32)])
+    return padded.reshape(steps, batch)
+
+
 def build_train_epoch(model: MultimodalEmotionModel,
                       optimizer: optax.GradientTransformation,
                       train_cfg: TrainConfig,
@@ -150,13 +160,9 @@ def build_train_epoch(model: MultimodalEmotionModel,
     def epoch(state: TrainState, data: Dict[str, jax.Array],
               train_idx: jax.Array, class_weights: jax.Array):
         n = train_idx.shape[0]
-        steps = -(-n // batch_size)
         rng, shuffle_key = jax.random.split(state.rng)
         perm = jax.random.permutation(shuffle_key, n)
-        shuffled = jnp.take(train_idx, perm, axis=0)
-        padded = jnp.concatenate(
-            [shuffled, jnp.full((steps * batch_size - n,), -1, jnp.int32)])
-        batches = padded.reshape(steps, batch_size)
+        batches = _pad_batches(jnp.take(train_idx, perm, axis=0), batch_size)
 
         def step_fn(carry, idx):
             state = carry
@@ -208,11 +214,7 @@ def build_eval(model: MultimodalEmotionModel, train_cfg: TrainConfig,
 
     def evaluate(params, batch_stats, data: Dict[str, jax.Array],
                  idx: jax.Array, class_weights: jax.Array):
-        n = idx.shape[0]
-        steps = -(-n // eval_batch)
-        padded = jnp.concatenate(
-            [idx, jnp.full((steps * eval_batch - n,), -1, jnp.int32)])
-        batches = padded.reshape(steps, eval_batch)
+        batches = _pad_batches(idx, eval_batch)
 
         variables = {"params": params}
         if batch_stats:
@@ -240,6 +242,65 @@ def build_eval(model: MultimodalEmotionModel, train_cfg: TrainConfig,
         return loss_sum / jnp.maximum(w_sum, 1.0), cm
 
     return jax.jit(evaluate)
+
+
+def _build_hyperparameters(model_cfg: ModelConfig,
+                           train_cfg: TrainConfig,
+                           batch_size: int, **extra) -> dict:
+    """Run-log hyperparameters with the reference's key set
+    (train2.py:748-764), shared by both trainer paths."""
+    out = {
+        "num_epochs": train_cfg.num_epochs, "lr": train_cfg.lr,
+        "weight_decay": train_cfg.weight_decay,
+        "patience": train_cfg.patience, "batch_size": batch_size,
+        "device": jax.devices()[0].platform,
+        "video_dim": model_cfg.video_dim, "audio_dim": model_cfg.audio_dim,
+        "fused_dim": model_cfg.fused_dim,
+        "num_classes": model_cfg.num_classes,
+        "max_seq_len": model_cfg.max_seq_len,
+        "fusion_dropout": model_cfg.fusion_dropout,
+        "classifier_dropout": model_cfg.classifier_dropout,
+        "num_layers": model_cfg.fusion_layers,
+        "num_heads": model_cfg.fusion_heads,
+        "scheduler_factor": train_cfg.scheduler_factor,
+        "scheduler_patience": train_cfg.scheduler_patience,
+        "focal_gamma": train_cfg.focal_gamma, "loss": train_cfg.loss,
+    }
+    out.update(extra)
+    return out
+
+
+def _save_run_artifacts(data: DatasetArrays, train_cfg: TrainConfig,
+                        batch_size: int, results: list, best_epoch: int,
+                        hyperparameters: dict, confusion,
+                        best_params, final_params, verbose: bool):
+    """Results JSON + best/final msgpack + norm stats, with the reference's
+    naming scheme (train2.py:748-774).  Shared by both trainer paths."""
+    if not train_cfg.save_checkpoints:
+        return None, None, None, None
+    os.makedirs(train_cfg.output_dir, exist_ok=True)
+    ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+    stem = f"bs{batch_size}_ep{train_cfg.num_epochs}_lr{train_cfg.lr}_{ts}"
+    results_path = os.path.join(train_cfg.output_dir, f"results_{stem}.json")
+    with open(results_path, "w") as f:
+        json.dump({
+            "training_progress": results,
+            "best_model": {"epoch": best_epoch},
+            "hyperparameters": hyperparameters,
+            "confusion_matrix": confusion.astype(int).tolist()
+            if confusion is not None else None,
+        }, f, indent=4)
+    best_path = os.path.join(train_cfg.output_dir,
+                             f"best_model_{stem}.msgpack")
+    final_path = os.path.join(train_cfg.output_dir,
+                              f"final_model_{stem}.msgpack")
+    if best_params is not None:
+        ckpt.save_params_msgpack(best_path, best_params)
+    ckpt.save_params_msgpack(final_path, final_params)
+    stats_path = _save_norm_stats(data, train_cfg.output_dir, stem)
+    if verbose:
+        print(f"Training results saved to {results_path}")
+    return results_path, best_path, final_path, stats_path
 
 
 def _save_norm_stats(data: DatasetArrays, output_dir: str,
@@ -315,24 +376,9 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
                   f"test macro-F1 {last['test_macro_f1']:.4f} "
                   f"({elapsed:.1f}s total, fused)")
 
-    hyperparameters = {
-        "num_epochs": train_cfg.num_epochs, "lr": train_cfg.lr,
-        "weight_decay": train_cfg.weight_decay,
-        "patience": train_cfg.patience, "batch_size": batch_size,
-        "device": jax.devices()[0].platform,
-        "video_dim": model_cfg.video_dim, "audio_dim": model_cfg.audio_dim,
-        "fused_dim": model_cfg.fused_dim,
-        "num_classes": model_cfg.num_classes,
-        "max_seq_len": model_cfg.max_seq_len,
-        "fusion_dropout": model_cfg.fusion_dropout,
-        "classifier_dropout": model_cfg.classifier_dropout,
-        "num_layers": model_cfg.fusion_layers,
-        "num_heads": model_cfg.fusion_heads,
-        "scheduler_factor": train_cfg.scheduler_factor,
-        "scheduler_patience": train_cfg.scheduler_patience,
-        "focal_gamma": train_cfg.focal_gamma, "loss": train_cfg.loss,
-        "fused_run": True, "train_wall_seconds": elapsed,
-    }
+    hyperparameters = _build_hyperparameters(
+        model_cfg, train_cfg, batch_size,
+        fused_run=True, train_wall_seconds=elapsed)
 
     confusion = None
     if best_epoch > 0:
@@ -342,30 +388,9 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
             print("Confusion matrix (rows = true, cols = pred):")
             print(confusion.astype(int))
 
-    results_path = best_path = final_path = stats_path = None
-    if train_cfg.save_checkpoints:
-        os.makedirs(train_cfg.output_dir, exist_ok=True)
-        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-        stem = f"bs{batch_size}_ep{train_cfg.num_epochs}_lr{train_cfg.lr}_{ts}"
-        results_path = os.path.join(train_cfg.output_dir,
-                                    f"results_{stem}.json")
-        with open(results_path, "w") as f:
-            json.dump({
-                "training_progress": results,
-                "best_model": {"epoch": best_epoch},
-                "hyperparameters": hyperparameters,
-                "confusion_matrix": confusion.astype(int).tolist()
-                if confusion is not None else None,
-            }, f, indent=4)
-        best_path = os.path.join(train_cfg.output_dir,
-                                 f"best_model_{stem}.msgpack")
-        final_path = os.path.join(train_cfg.output_dir,
-                                  f"final_model_{stem}.msgpack")
-        ckpt.save_params_msgpack(best_path, best_params)
-        ckpt.save_params_msgpack(final_path, final_params)
-        stats_path = _save_norm_stats(data, train_cfg.output_dir, stem)
-        if verbose:
-            print(f"Training results saved to {results_path}")
+    results_path, best_path, final_path, stats_path = _save_run_artifacts(
+        data, train_cfg, batch_size, results, best_epoch, hyperparameters,
+        confusion, best_params, final_params, verbose)
 
     return TrainOutput(
         best_params=best_params, final_params=final_params, results=results,
@@ -463,28 +488,9 @@ def train_model(data: DatasetArrays, splits: DataSplits,
     epochs_without_improvement = 0
     previous_val_loss = float("inf")
 
-    hyperparameters = {
-        "num_epochs": train_cfg.num_epochs,
-        "lr": train_cfg.lr,
-        "weight_decay": train_cfg.weight_decay,
-        "patience": train_cfg.patience,
-        "batch_size": batch_size,
-        "device": jax.devices()[0].platform,
-        "video_dim": model_cfg.video_dim,
-        "audio_dim": model_cfg.audio_dim,
-        "fused_dim": model_cfg.fused_dim,
-        "num_classes": model_cfg.num_classes,
-        "max_seq_len": model_cfg.max_seq_len,
-        "fusion_dropout": model_cfg.fusion_dropout,
-        "classifier_dropout": model_cfg.classifier_dropout,
-        "num_layers": model_cfg.fusion_layers,
-        "num_heads": model_cfg.fusion_heads,
-        "scheduler_factor": train_cfg.scheduler_factor,
-        "scheduler_patience": train_cfg.scheduler_patience,
-        "focal_gamma": train_cfg.focal_gamma,
-        "loss": train_cfg.loss,
-        "mesh": dict(zip(mesh.axis_names, mesh.devices.shape)),
-    }
+    hyperparameters = _build_hyperparameters(
+        model_cfg, train_cfg, batch_size,
+        mesh=dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     t_start = time.time()
     epoch = start_epoch
@@ -579,31 +585,9 @@ def train_model(data: DatasetArrays, splits: DataSplits,
             print(confusion.astype(int))
 
     # Artifacts with the reference's naming scheme (train2.py:748-774).
-    results_path = best_path = final_path = stats_path = None
-    if train_cfg.save_checkpoints:
-        os.makedirs(train_cfg.output_dir, exist_ok=True)
-        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
-        stem = f"bs{batch_size}_ep{train_cfg.num_epochs}_lr{train_cfg.lr}_{ts}"
-        results_path = os.path.join(train_cfg.output_dir,
-                                    f"results_{stem}.json")
-        with open(results_path, "w") as f:
-            json.dump({
-                "training_progress": results,
-                "best_model": {"epoch": best_epoch},
-                "hyperparameters": hyperparameters,
-                "confusion_matrix": confusion.astype(int).tolist()
-                if confusion is not None else None,
-            }, f, indent=4)
-        best_path = os.path.join(train_cfg.output_dir,
-                                 f"best_model_{stem}.msgpack")
-        final_path = os.path.join(train_cfg.output_dir,
-                                  f"final_model_{stem}.msgpack")
-        if best_params is not None:
-            ckpt.save_params_msgpack(best_path, best_params)
-        ckpt.save_params_msgpack(final_path, state.params)
-        stats_path = _save_norm_stats(data, train_cfg.output_dir, stem)
-        if verbose:
-            print(f"Training results saved to {results_path}")
+    results_path, best_path, final_path, stats_path = _save_run_artifacts(
+        data, train_cfg, batch_size, results, best_epoch, hyperparameters,
+        confusion, best_params, state.params, verbose)
 
     return TrainOutput(
         best_params=best_params, final_params=state.params, results=results,

@@ -21,6 +21,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _timed(fn) -> float:
+    """Wall seconds for one call of ``fn``."""
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     from mmer_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -38,8 +45,7 @@ def main() -> None:
     ex = VideoFeatureExtractor(ViViTConfig(), device_batch=16)
     chunks = (rng.random((32, 32, 224, 224, 3)) * 255).astype(np.uint8)
     ex.embed_chunks(chunks)                    # warm
-    best = min((lambda t0: (ex.embed_chunks(chunks), time.time() - t0)[1])(
-        time.time()) for _ in range(3))
+    best = min(_timed(lambda: ex.embed_chunks(chunks)) for _ in range(3))
     print(f"vivit embed (uint8, B=16): {32 / best:.1f} chunks/s "
           f"({32 * 32 / best:.0f} frames/s)")
 
@@ -47,8 +53,7 @@ def main() -> None:
     emb = AudioEmbedder(Wav2Vec2Config())
     waves = [rng.normal(size=(48000,)).astype(np.float32) for _ in range(16)]
     emb.embed_batch(waves)                     # warm
-    best = min((lambda t0: (emb.embed_batch(waves), time.time() - t0)[1])(
-        time.time()) for _ in range(3))
+    best = min(_timed(lambda: emb.embed_batch(waves)) for _ in range(3))
     print(f"wav2vec2-large embed: {16 / best:.1f} x 3s clips/s")
 
     # -- detector ---------------------------------------------------------
@@ -76,8 +81,7 @@ def main() -> None:
                         mask)
     f = jax.jit(lambda p, v, a, m: model.apply(p, v, a, m)[1])
     np.asarray(f(params, video, audio, mask))
-    best = min((lambda t0: (np.asarray(f(params, video, audio, mask)),
-                            time.time() - t0)[1])(time.time())
+    best = min(_timed(lambda: np.asarray(f(params, video, audio, mask)))
                for _ in range(3))
     print(f"fusion inference: {256 / best:.0f} windows/s (B=256)")
 

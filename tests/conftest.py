@@ -42,6 +42,35 @@ requires_reference_data = pytest.mark.skipif(
     not has_reference_features(), reason="reference feature artifacts not present")
 
 
+def make_tiny_dataset(seed: int = 0, n: int = 96, t: int = 3,
+                      separable: bool = False):
+    """In-memory (DatasetArrays, DataSplits) pair for trainer tests.
+
+    ``separable=True`` plants a label-proportional signal in feature dim 0
+    of both modalities so losses actually move.
+    """
+    from mmer_tpu.data.pipeline import (DataSplits, DatasetArrays,
+                                        balanced_class_weights,
+                                        stratified_splits)
+
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, 6, size=(n,)).astype(np.int32)
+    lengths = rng.integers(1, t + 1, size=(n,)).astype(np.int32)
+    video = rng.normal(size=(n, t, 768)).astype(np.float32)
+    audio = rng.normal(size=(n, 1024)).astype(np.float32)
+    if separable:
+        video[:, :, 0] += labels[:, None] * 2.0
+        audio[:, 0] += labels * 2.0
+    data = DatasetArrays(
+        video=video, audio=audio,
+        pad_mask=np.arange(t)[None, :] >= lengths[:, None],
+        labels=labels, lengths=lengths,
+        keys=[str(i) for i in range(n)], max_chunks=t)
+    tr, va, te = stratified_splits(labels, seed=42)
+    splits = DataSplits(tr, va, te, balanced_class_weights(labels[tr]))
+    return data, splits
+
+
 @pytest.fixture(scope="session")
 def synthetic_feature_dirs(tmp_path_factory):
     """A tiny on-disk feature dataset following the reference artifact

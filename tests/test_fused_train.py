@@ -6,9 +6,6 @@ import numpy as np
 import pytest
 
 from mmer_tpu.config import ModelConfig, TrainConfig
-from mmer_tpu.data.pipeline import (DataSplits, balanced_class_weights,
-                                    stratified_splits)
-from mmer_tpu.data.pipeline import DatasetArrays
 from mmer_tpu.train.loop import train_model
 
 CFG = ModelConfig(max_seq_len=4, fusion_layers=1, compute_dtype="float32")
@@ -16,23 +13,8 @@ CFG = ModelConfig(max_seq_len=4, fusion_layers=1, compute_dtype="float32")
 
 @pytest.fixture(scope="module")
 def tiny_dataset():
-    rng = np.random.default_rng(0)
-    n, t = 120, 3
-    labels = rng.integers(0, 6, size=(n,)).astype(np.int32)
-    lengths = rng.integers(1, t + 1, size=(n,)).astype(np.int32)
-    # separable-ish signal so losses actually move
-    video = rng.normal(size=(n, t, 768)).astype(np.float32)
-    video[:, :, 0] += labels[:, None] * 2.0
-    audio = rng.normal(size=(n, 1024)).astype(np.float32)
-    audio[:, 0] += labels * 2.0
-    data = DatasetArrays(
-        video=video, audio=audio,
-        pad_mask=np.arange(t)[None, :] >= lengths[:, None],
-        labels=labels, lengths=lengths,
-        keys=[str(i) for i in range(n)], max_chunks=t)
-    tr, va, te = stratified_splits(labels, seed=42)
-    splits = DataSplits(tr, va, te, balanced_class_weights(labels[tr]))
-    return data, splits
+    from conftest import make_tiny_dataset
+    return make_tiny_dataset(seed=0, separable=True)
 
 
 def _run(tiny_dataset, fused, **kw):

@@ -5,27 +5,15 @@ import numpy as np
 import pytest
 
 from mmer_tpu.config import ModelConfig, TrainConfig
-from mmer_tpu.data.pipeline import (DataSplits, DatasetArrays,
-                                    balanced_class_weights,
-                                    normalize_per_sample, oversample_neutral,
-                                    stratified_splits)
+from mmer_tpu.data.pipeline import (normalize_per_sample,
+                                    oversample_neutral)
 from mmer_tpu.train.loop import train_model
 
 
 @pytest.fixture(scope="module")
 def tiny_dataset():
-    rng = np.random.default_rng(2)
-    n, t = 96, 3
-    labels = rng.integers(0, 6, size=(n,)).astype(np.int32)
-    lengths = rng.integers(1, t + 1, size=(n,)).astype(np.int32)
-    data = DatasetArrays(
-        video=rng.normal(size=(n, t, 768)).astype(np.float32),
-        audio=rng.normal(size=(n, 1024)).astype(np.float32),
-        pad_mask=np.arange(t)[None, :] >= lengths[:, None],
-        labels=labels, lengths=lengths,
-        keys=[str(i) for i in range(n)], max_chunks=t)
-    tr, va, te = stratified_splits(labels, seed=42)
-    return data, DataSplits(tr, va, te, balanced_class_weights(labels[tr]))
+    from conftest import make_tiny_dataset
+    return make_tiny_dataset(seed=2)
 
 
 def test_v1_batchnorm_focal_trains(tiny_dataset):
