@@ -111,40 +111,45 @@ class HaarCascade:
     # ------------------------------------------------------------------
     def _detect_single_scale(self, sat: np.ndarray, sat2: np.ndarray,
                              stride: int) -> np.ndarray:
-        """All surviving window origins at one scale.
+        """All surviving window origins at one scale, for a BATCH of frames.
 
-        sat/sat2: (H+1, W+1) integral images of the scaled gray frame.
-        Returns (N, 2) array of (x, y) origins in scaled coordinates.
+        sat/sat2: (F, H+1, W+1) integral images of the scaled gray frames.
+        Returns (N, 3) array of (frame, x, y) origins in scaled coordinates.
+        The cascade stages evaluate every frame's windows jointly — one
+        vectorized pass per stage instead of a Python loop per frame.
         """
-        h = sat.shape[0] - 1 - self.win_h
-        w = sat.shape[1] - 1 - self.win_w
+        n_frames = sat.shape[0]
+        h = sat.shape[1] - 1 - self.win_h
+        w = sat.shape[2] - 1 - self.win_w
         if h <= 0 or w <= 0:
-            return np.zeros((0, 2), np.int64)
-        ys, xs = np.mgrid[0:h:stride, 0:w:stride]
-        ys = ys.ravel()
-        xs = xs.ravel()
+            return np.zeros((0, 3), np.int64)
+        ys0, xs0 = np.mgrid[0:h:stride, 0:w:stride]
+        per_frame = ys0.size
+        xs = np.tile(xs0.ravel(), n_frames)
+        ys = np.tile(ys0.ravel(), n_frames)
+        fs = np.repeat(np.arange(n_frames), per_frame)
 
-        def window_sum(img, x0, y0, ww, hh):
-            return (img[y0 + hh, x0 + ww] - img[y0, x0 + ww]
-                    - img[y0 + hh, x0] + img[y0, x0])
+        def window_sum(img, f, x0, y0, ww, hh):
+            return (img[f, y0 + hh, x0 + ww] - img[f, y0, x0 + ww]
+                    - img[f, y0 + hh, x0] + img[f, y0, x0])
 
         # OpenCV's exact normalization (cascadedetect HaarEvaluator): raw
         # sums over the 1-px-inset normrect, vnf = sqrt(area·Σx² − (Σx)²),
         # stump test on RAW feature sums:  s < thresh · vnf.
         norm_area = (self.win_w - 2) * (self.win_h - 2)
-        total = window_sum(sat, xs + 1, ys + 1, self.win_w - 2,
+        total = window_sum(sat, fs, xs + 1, ys + 1, self.win_w - 2,
                            self.win_h - 2)
-        sq = window_sum(sat2, xs + 1, ys + 1, self.win_w - 2,
+        sq = window_sum(sat2, fs, xs + 1, ys + 1, self.win_w - 2,
                         self.win_h - 2)
         nf = norm_area * sq - total * total
         vnorm = np.where(nf > 0, np.sqrt(np.maximum(nf, 0.0)), 1.0)
 
         alive = np.ones(len(xs), dtype=bool)
         for stage in self.stages:
-            ax, ay, av = xs[alive], ys[alive], vnorm[alive]
+            ax, ay, af, av = xs[alive], ys[alive], fs[alive], vnorm[alive]
             n_alive = len(ax)
             if n_alive == 0:
-                return np.zeros((0, 2), np.int64)
+                return np.zeros((0, 3), np.int64)
             rects = self.features[stage.feature_idx]      # (W, 3, 5)
             n_weak = rects.shape[0]
             rx = rects[:, :, 0].astype(np.int64)
@@ -160,10 +165,11 @@ class HaarCascade:
             for s in range(0, n_alive, chunk):
                 cx = ax[s:s + chunk, None, None]
                 cy = ay[s:s + chunk, None, None]
+                cf = af[s:s + chunk, None, None]
                 x0, y0 = cx + rx[None], cy + ry[None]
-                sums = (sat[y0 + rh[None], x0 + rw[None]]
-                        - sat[y0, x0 + rw[None]]
-                        - sat[y0 + rh[None], x0] + sat[y0, x0])
+                sums = (sat[cf, y0 + rh[None], x0 + rw[None]]
+                        - sat[cf, y0, x0 + rw[None]]
+                        - sat[cf, y0 + rh[None], x0] + sat[cf, y0, x0])
                 feat = np.einsum("nwr,wr->nw", sums, rweight)
                 passed = feat < (stage.node_thresh[None, :]
                                  * av[s:s + chunk, None])
@@ -171,32 +177,51 @@ class HaarCascade:
                     passed, stage.left_val[None, :],
                     stage.right_val[None, :]).sum(axis=1)
             alive[np.flatnonzero(alive)[stage_sum < stage.threshold]] = False
-        return np.stack([xs[alive], ys[alive]], axis=1)
+        return np.stack([fs[alive], xs[alive], ys[alive]], axis=1)
+
+    def detect_many(self, grays: List[np.ndarray],
+                    scale_factor: float = 1.2, min_neighbors: int = 3,
+                    stride: int = 2, min_size: int = 48
+                    ) -> List[List[Tuple[float, float, float, float, float]]]:
+        """Batched detection over same-shaped gray frames.
+
+        All frames share one scale pyramid: integral images are built with
+        batched cumsums and every cascade stage evaluates all frames'
+        windows in one vectorized pass — the per-frame Python overhead of
+        calling :meth:`detect` in a loop disappears.
+        """
+        import cv2
+
+        n = len(grays)
+        if n == 0:
+            return []
+        h, w = grays[0].shape
+        raw: List[List[Tuple[int, int, int]]] = [[] for _ in range(n)]
+
+        scale = max(min_size / self.win_w, 1.0)
+        while self.win_w * scale <= min(h, w):
+            sw, sh = int(round(w / scale)), int(round(h / scale))
+            scaled = np.stack([
+                cv2.resize(np.ascontiguousarray(g, np.float64), (sw, sh),
+                           interpolation=cv2.INTER_AREA) for g in grays])
+            sat = np.zeros((n, sh + 1, sw + 1))
+            sat2 = np.zeros((n, sh + 1, sw + 1))
+            np.cumsum(np.cumsum(scaled, 1), 2, out=sat[:, 1:, 1:])
+            np.cumsum(np.cumsum(scaled * scaled, 1), 2,
+                      out=sat2[:, 1:, 1:])
+            for f, x, y in self._detect_single_scale(sat, sat2, stride):
+                raw[f].append((int(round(x * scale)), int(round(y * scale)),
+                               int(round(self.win_w * scale))))
+            scale *= scale_factor
+
+        return [_group_rectangles(r, min_neighbors) for r in raw]
 
     def detect(self, gray: np.ndarray, scale_factor: float = 1.2,
                min_neighbors: int = 3, stride: int = 2,
                min_size: int = 48) -> List[Tuple[float, float, float, float, float]]:
         """→ [(x1, y1, x2, y2, conf)], conf from the neighbor count."""
-        import cv2
-
-        gray = np.ascontiguousarray(gray, np.float64)
-        h, w = gray.shape
-        raw: List[Tuple[int, int, int]] = []   # (x, y, size) original coords
-
-        scale = max(min_size / self.win_w, 1.0)
-        while self.win_w * scale <= min(h, w):
-            sw, sh = int(round(w / scale)), int(round(h / scale))
-            scaled = cv2.resize(gray, (sw, sh), interpolation=cv2.INTER_AREA)
-            sat = np.zeros((sh + 1, sw + 1))
-            sat2 = np.zeros((sh + 1, sw + 1))
-            np.cumsum(np.cumsum(scaled, 0), 1, out=sat[1:, 1:])
-            np.cumsum(np.cumsum(scaled * scaled, 0), 1, out=sat2[1:, 1:])
-            for x, y in self._detect_single_scale(sat, sat2, stride):
-                raw.append((int(round(x * scale)), int(round(y * scale)),
-                            int(round(self.win_w * scale))))
-            scale *= scale_factor
-
-        return _group_rectangles(raw, min_neighbors)
+        return self.detect_many([gray], scale_factor, min_neighbors, stride,
+                                min_size)[0]
 
 
 def _group_rectangles(raw: List[Tuple[int, int, int]], min_neighbors: int,

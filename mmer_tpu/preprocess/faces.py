@@ -56,11 +56,17 @@ class HaarFaceDetector:
 
     def detect(self, frame_rgb: np.ndarray) -> List[Tuple[float, float, float, float, float]]:
         """→ [(x1, y1, x2, y2, conf)], highest confidence first."""
+        return self.detect_many([frame_rgb])[0]
+
+    def detect_many(self, frames_rgb: List[np.ndarray]
+                    ) -> List[List[Tuple[float, float, float, float, float]]]:
+        """Batched detection over same-shaped frames (one vectorized cascade
+        pass per scale for the whole batch — the serving fast path)."""
         import cv2
 
-        gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
-        return self._cascade.detect(
-            gray, scale_factor=self.scale_factor,
+        grays = [cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames_rgb]
+        return self._cascade.detect_many(
+            grays, scale_factor=self.scale_factor,
             min_neighbors=self.min_neighbors, min_size=self.min_size)
 
 

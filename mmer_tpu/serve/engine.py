@@ -171,12 +171,21 @@ class InferenceEngine:
         if not frames:
             return {"bounding_box": [], "inference": []}
 
+        # Detect on every `detect_every`-th frame.  (A batched detect_many
+        # exists but measured SLOWER than per-frame on a single host core —
+        # the cross-frame gathers lose cache locality; revisit on many-core
+        # hosts.)
+        step = max(detect_every, 1)
+        per_sampled: Dict[int, list] = {
+            i: self.detector.detect(frames[i])
+            for i in range(0, len(frames), step)}
+
         detections = []       # (frame, x1, y1, x2, y2, conf)
         bounding_box = []
         carried = None
         for idx, frame in enumerate(frames):
-            if idx % max(detect_every, 1) == 0:
-                carried = self.detector.detect(frame)
+            if idx in per_sampled:
+                carried = per_sampled[idx]
             for (x1, y1, x2, y2, conf) in (carried or []):
                 detections.append((idx, x1, y1, x2, y2, conf))
                 bounding_box.append({

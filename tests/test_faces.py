@@ -63,6 +63,31 @@ def test_write_face_video(tmp_path):
     cap.release()
 
 
+def test_detect_many_equals_per_frame():
+    """Batched detection must give exactly the per-frame results."""
+    pytest.importorskip("cv2")
+    pytest.importorskip("matplotlib")
+    from matplotlib import cbook
+    from PIL import Image
+
+    from mmer_tpu.preprocess.faces import HaarFaceDetector
+
+    img = np.asarray(Image.open(
+        cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)))
+    rng = np.random.default_rng(0)
+    frames = [img,
+              np.clip(img.astype(np.int16)
+                      + rng.integers(-15, 15, img.shape), 0,
+                      255).astype(np.uint8),
+              (rng.random(img.shape) * 255).astype(np.uint8)]
+    det = HaarFaceDetector()
+    batched = det.detect_many(frames)
+    solo = [det.detect(f) for f in frames]
+    assert batched == solo
+    assert batched[0], "face missing in portrait"
+    assert batched[2] == []
+
+
 def test_haar_detector_finds_real_face():
     """The in-repo Viola-Jones evaluator must find the face in a real
     portrait (matplotlib's bundled grace_hopper.jpg) and stay quiet on a
