@@ -120,7 +120,15 @@ class EncoderLayer(nn.Module):
                             preferred_element_type=jnp.float32)
         scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
         if pad_mask is not None:
-            bias = jnp.where(pad_mask[:, None, None, :], -jnp.inf, 0.0)
+            # Large-negative FINITE bias, not -inf: a clip shorter than the
+            # conv stack's ~400-sample receptive field has 0 output frames,
+            # so every attention row is fully masked — with -inf that row
+            # softmaxes to NaN and poisons the pooled embedding (ADVICE r1).
+            # With -1e9 it softmaxes to uniform; real keys still get exact
+            # 0 probability for padded keys, and the fully-masked case is
+            # dropped by the length-masked pooling (→ zero embedding, the
+            # reference's no-audio fallback).
+            bias = jnp.where(pad_mask[:, None, None, :], -1e9, 0.0)
             scores = scores + bias
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v,

@@ -46,10 +46,20 @@ def parse_multipart(body: bytes, content_type: str) -> Dict[str, Tuple[str, byte
         raise ValueError("multipart boundary missing")
     boundary = m.group(1).encode()
     out: Dict[str, Tuple[str, bytes]] = {}
-    for part in body.split(b"--" + boundary):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+    # RFC 2046: parts are delimited by CRLF "--" boundary; the payload is
+    # everything between its header blank line and the NEXT delimiter, so
+    # splitting on the full delimiter keeps binary payloads that end in
+    # 0x0D/0x0A bytes intact (a bare .strip(b"\r\n") would corrupt them).
+    chunks = body.split(b"\r\n--" + boundary)
+    if chunks and chunks[0].startswith(b"--" + boundary):
+        # First boundary is not CRLF-preceded; strip just the delimiter.
+        chunks[0] = chunks[0][len(boundary) + 2:]
+    for part in chunks:
+        # Valid parts start with CRLF then headers; the closing chunk is
+        # "--" (optionally + CRLF) and any preamble lacks the leading CRLF.
+        if not part.startswith(b"\r\n"):
             continue
+        part = part[2:]
         if b"\r\n\r\n" not in part:
             continue
         header_blob, payload = part.split(b"\r\n\r\n", 1)

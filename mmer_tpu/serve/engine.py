@@ -68,6 +68,7 @@ class InferenceEngine:
         self._video_extractor = None
         self._audio_embedder = None
         self._fusion = None          # (model, params, jitted apply)
+        self._fusion_logits_fn = None
 
     # -- lazy singletons (reference get_*_model, inference.py:39-265) -----
     @property
@@ -123,6 +124,22 @@ class InferenceEngine:
                                                           "return_attn"))
             self._fusion = (model, params, apply)
         return self._fusion
+
+    @property
+    def fusion_logits_fn(self):
+        """ONE stable logits closure for IG.  ``integrated_gradients`` jits
+        with ``apply_fn`` as a static argument, so a fresh closure per
+        request would recompile the IG graph every time and grow the jit
+        cache without bound (ADVICE r1)."""
+        if self._fusion_logits_fn is None:
+            _, _, apply = self.fusion
+
+            def logits_fn(p, v, a, m):
+                _, logits, _ = apply(p, v, a, m)
+                return logits
+
+            self._fusion_logits_fn = logits_fn
+        return self._fusion_logits_fn
 
     # ------------------------------------------------------------------
     def _normalize(self, video_feats: np.ndarray, audio_feats: np.ndarray):
@@ -257,11 +274,8 @@ class InferenceEngine:
                     from mmer_tpu.interpret import (aggregate_importances,
                                                     compute_attributions)
 
-                    def logits_fn(p, v, a, m):
-                        _, logits, _ = apply(p, v, a, m)
-                        return logits
-
-                    av, aa = compute_attributions(logits_fn, params,
+                    av, aa = compute_attributions(self.fusion_logits_fn,
+                                                  params,
                                                   video_w, audio_w, mask)
                     vi, ai = aggregate_importances(av, aa)
                     vi, ai = np.asarray(vi), np.asarray(ai)
@@ -281,12 +295,13 @@ class InferenceEngine:
 
         return {"bounding_box": bounding_box, "inference": inference}
 
-    def warmup(self, subchunk_size: int = 32, window_size: int = 5) -> None:
+    def warmup(self, subchunk_size: int = 32, window_size: int = 5,
+               explain: bool = True) -> None:
         """Pre-compile the default-request compute graphs (ViViT at the
-        subchunk shape, Wav2Vec2 at 1s/10s buckets, fusion at each window
-        length, IG) so the first real upload doesn't pay cold-compile
-        latency.  With the persistent compile cache this is fast after the
-        first-ever server start on a machine."""
+        subchunk shape, Wav2Vec2 at 1s/10s buckets, fusion AND the IG
+        explain graph at each window length) so the first real upload
+        doesn't pay cold-compile latency.  With the persistent compile
+        cache this is fast after the first-ever server start on a machine."""
         import numpy as np
 
         max_tokens = self.model_cfg.max_seq_len - 1
@@ -298,10 +313,15 @@ class InferenceEngine:
             [np.zeros(self.wav_cfg.sample_rate, np.float32)])
         _, params, apply = self.fusion
         for wl in range(1, window_size + 1):
-            video_w = np.tile(sub_feats[:1][None], (1, wl, 1))
+            video_w = np.tile(sub_feats[:1][None], (1, wl, 1)
+                              ).reshape(1, wl, -1)
             audio_w = np.zeros((1, self.model_cfg.audio_dim), np.float32)
             mask = np.zeros((1, wl), bool)
-            apply(params, video_w.reshape(1, wl, -1), audio_w, mask)
+            apply(params, video_w, audio_w, mask)
+            if explain:
+                from mmer_tpu.interpret import compute_attributions
+                compute_attributions(self.fusion_logits_fn, params,
+                                     video_w, audio_w, mask)
         print("engine warmup complete", flush=True)
 
     def predict_clip(self, video_path: str, subchunk_size: int = 32,

@@ -14,8 +14,9 @@ state and cannot resume mid-run (SURVEY.md §5).  Here:
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 from flax import serialization
@@ -69,3 +70,45 @@ def restore_train_state(path: str, target: Any) -> Any:
     ckpointer = ocp.PyTreeCheckpointer()
     restored = ckpointer.restore(os.path.abspath(path), item=jax.device_get(target))
     return restored
+
+
+class RestoredLoop(NamedTuple):
+    state: Any
+    best_params: Optional[Any]
+    loop: Optional[dict]   # scheduler/early-stop/best scalars; None = legacy
+
+
+def save_loop_checkpoint(ckpt_dir: str, state: Any, step: int,
+                         best_params: Optional[Any], loop: dict) -> str:
+    """Full-resume checkpoint: TrainState + best params + the host-side
+    loop scalars (lr, plateau-scheduler counters, early-stop streak, best
+    tracking).  ADVICE r1: without these, a resumed run re-seeded
+    lr=train_cfg.lr and fresh scheduler counters, diverging from the
+    uninterrupted run."""
+    payload = {"state": state,
+               "best_params": best_params
+               if best_params is not None else state.params}
+    path = save_train_state(ckpt_dir, payload, step)
+    loop_path = os.path.join(ckpt_dir, f"loop_{step:06d}.json")
+    with open(loop_path, "w") as f:
+        json.dump(loop, f)
+    return path
+
+
+def restore_loop_checkpoint(path: str, state_target: Any) -> RestoredLoop:
+    """Restore a ``save_loop_checkpoint`` artifact; falls back to legacy
+    plain-TrainState checkpoints (loop=None)."""
+    step = os.path.basename(path).split(".")[0].split("_")[1]
+    loop_path = os.path.join(os.path.dirname(path), f"loop_{step}.json")
+    if not os.path.exists(loop_path):
+        return RestoredLoop(restore_train_state(path, state_target),
+                            None, None)
+    target = {"state": state_target, "best_params": state_target.params}
+    restored = restore_train_state(path, target)
+    with open(loop_path) as f:
+        loop = json.load(f)
+    loop["sched_bad"] = int(loop["sched_bad"])
+    loop["best_epoch"] = int(loop["best_epoch"])
+    loop["no_improve"] = int(loop["no_improve"])
+    loop["has_best"] = bool(loop["has_best"])
+    return RestoredLoop(restored["state"], restored["best_params"], loop)

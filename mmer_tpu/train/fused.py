@@ -45,7 +45,7 @@ class FusedCarry(NamedTuple):
     epoch: jax.Array            # i32 — epochs completed
     done: jax.Array             # bool — early-stopped
     best_params: Any
-    best_val_loss: jax.Array
+    best_score: jax.Array  # tracked score: val loss, or -val acc (v1)
     best_epoch: jax.Array       # 1-based, 0 = none yet
     sched_best: jax.Array       # plateau scheduler state
     sched_bad: jax.Array
@@ -57,12 +57,31 @@ class FusedCarry(NamedTuple):
 def build_fused_train(model: MultimodalEmotionModel,
                       optimizer: optax.GradientTransformation,
                       model_cfg: ModelConfig, train_cfg: TrainConfig,
-                      batch_size: int, eval_batch: int = 1024) -> Callable:
+                      batch_size: int, eval_batch: int = 1024,
+                      mesh=None) -> Callable:
     """→ jitted ``run(params, opt_state, rng, data, train_idx, val_idx,
-    test_idx, class_weights)`` executing the whole training run."""
+    test_idx, class_weights)`` executing the whole training run.
+
+    With a multi-device ``mesh`` every on-device-gathered minibatch (train
+    AND eval) is constrained to batch-sharding over the data axis, exactly
+    like the epoch-loop path (loop.py:153-158); parameters are expected to
+    arrive pre-placed by parallel/sharding.py, so the whole while_loop body
+    runs dp (and tp, if params are model-sharded) with XLA-inserted ICI
+    collectives.
+    """
+    from mmer_tpu.parallel.sharding import batch_spec
+
     loss_fn = _loss_fn(train_cfg)
     num_classes = model_cfg.num_classes
     num_epochs = train_cfg.num_epochs
+    shard_batches = mesh is not None and mesh.size > 1
+
+    def gather(arr, idx):
+        out = jnp.take(arr, idx, axis=0)
+        if shard_batches:
+            out = jax.lax.with_sharding_constraint(
+                out, batch_spec(mesh, out.ndim))
+        return out
 
     def train_epoch(params, opt_state, rng, data, train_idx, class_weights):
         n = train_idx.shape[0]
@@ -75,10 +94,10 @@ def build_fused_train(model: MultimodalEmotionModel,
             idx, step_i = xs
             sw = (idx >= 0).astype(jnp.float32)
             safe = jnp.maximum(idx, 0)
-            video = jnp.take(data["video"], safe, axis=0)
-            audio = jnp.take(data["audio"], safe, axis=0)
-            mask = jnp.take(data["pad_mask"], safe, axis=0)
-            labels = jnp.take(data["labels"], safe, axis=0)
+            video = gather(data["video"], safe)
+            audio = gather(data["audio"], safe)
+            mask = gather(data["pad_mask"], safe)
+            labels = gather(data["labels"], safe)
             dropout_key = jax.random.fold_in(epoch_key, step_i)
 
             def loss_of(p):
@@ -104,10 +123,10 @@ def build_fused_train(model: MultimodalEmotionModel,
             loss_sum, w_sum, cm = carry
             sw = (b >= 0).astype(jnp.float32)
             safe = jnp.maximum(b, 0)
-            video = jnp.take(data["video"], safe, axis=0)
-            audio = jnp.take(data["audio"], safe, axis=0)
-            mask = jnp.take(data["pad_mask"], safe, axis=0)
-            labels = jnp.take(data["labels"], safe, axis=0)
+            video = gather(data["video"], safe)
+            audio = gather(data["audio"], safe)
+            mask = gather(data["pad_mask"], safe)
+            labels = gather(data["labels"], safe)
             _, logits, _ = model.apply({"params": params}, video, audio,
                                        mask)
             batch_loss = loss_fn(logits, labels, class_weights, sw)
@@ -135,7 +154,7 @@ def build_fused_train(model: MultimodalEmotionModel,
             params=params, opt_state=opt_state, rng=rng,
             epoch=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
             best_params=jax.tree_util.tree_map(jnp.copy, params),
-            best_val_loss=jnp.asarray(jnp.inf),
+            best_score=jnp.asarray(jnp.inf),
             best_epoch=jnp.zeros((), jnp.int32),
             sched_best=jnp.asarray(jnp.inf),
             sched_bad=jnp.zeros((), jnp.int32),
@@ -175,11 +194,11 @@ def build_fused_train(model: MultimodalEmotionModel,
                 score = val_loss
             else:
                 score = -jnp.trace(val_cm) / jnp.maximum(jnp.sum(val_cm), 1.0)
-            is_best = score < c.best_val_loss
+            is_best = score < c.best_score
             best_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(is_best, new, old),
                 params, c.best_params)
-            best_val_loss = jnp.where(is_best, score, c.best_val_loss)
+            best_score = jnp.where(is_best, score, c.best_score)
             best_epoch = jnp.where(is_best, c.epoch + 1, c.best_epoch)
 
             # early stopping on per-epoch improvement.
@@ -200,7 +219,7 @@ def build_fused_train(model: MultimodalEmotionModel,
             return FusedCarry(
                 params=params, opt_state=opt_state, rng=rng, epoch=e + 1,
                 done=done, best_params=best_params,
-                best_val_loss=best_val_loss, best_epoch=best_epoch,
+                best_score=best_score, best_epoch=best_epoch,
                 sched_best=sched_best, sched_bad=sched_bad,
                 prev_val_loss=val_loss, no_improve=no_improve,
                 metrics=metrics)

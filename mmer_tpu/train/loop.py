@@ -320,9 +320,13 @@ def _save_norm_stats(data: DatasetArrays, output_dir: str,
 
 def _train_model_fused(data: DatasetArrays, splits: DataSplits,
                        model_cfg: ModelConfig, train_cfg: TrainConfig,
-                       batch_size: int, seed: int = 0,
+                       batch_size: int,
+                       mesh_cfg: Optional[MeshConfig] = None,
+                       seed: int = 0,
                        verbose: bool = True) -> "TrainOutput":
-    """Whole-run-on-device training (see train/fused.py)."""
+    """Whole-run-on-device training (see train/fused.py), dp(+tp)-sharded
+    over the ``mesh_cfg`` mesh when more than one device is present."""
+    from mmer_tpu.core.mesh import replicate
     from mmer_tpu.train.fused import build_fused_train, fused_results_rows
 
     if model_cfg.norm == "batchnorm":
@@ -332,6 +336,7 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
         raise ValueError("mid-run checkpoints need the epoch loop "
                          "(fused=False): the fused run never returns to "
                          "the host between epochs")
+    mesh = create_mesh(mesh_cfg)
     model = MultimodalEmotionModel(model_cfg)
     optimizer = make_optimizer(train_cfg)
 
@@ -347,10 +352,18 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
     params = model.init(
         {"params": init_key}, dev_data["video"][:2], dev_data["audio"][:2],
         dev_data["pad_mask"][:2])["params"]
+    if mesh.size > 1:
+        # Params placed by the tp/dp rules; the full feature dataset is
+        # replicated so each chip gathers its batch shard locally (it is
+        # ~140 MB — trivially affordable in 16 GB HBM and it removes every
+        # gather-time collective except the grad psum).
+        params = shard_params(params, mesh)
+        dev_data = replicate(mesh, dev_data)
+        class_weights = replicate(mesh, class_weights)
     opt_state = optimizer.init(params)
 
     run = build_fused_train(model, optimizer, model_cfg, train_cfg,
-                            batch_size)
+                            batch_size, mesh=mesh)
     t_start = time.time()
     final = run(params, opt_state, rng, dev_data,
                 jnp.asarray(splits.train, jnp.int32),
@@ -361,7 +374,9 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
 
     results = fused_results_rows(final)
     best_epoch = int(final.best_epoch)
-    best_val_loss = float(final.best_val_loss)
+    best_score = float(final.best_score)
+    best_val_loss = (results[best_epoch - 1]["val_loss"]
+                     if best_epoch > 0 else float("inf"))
     best_params = jax.device_get(final.best_params)
     final_params = jax.device_get(final.params)
     epochs_run = len(results)
@@ -378,7 +393,8 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
 
     hyperparameters = _build_hyperparameters(
         model_cfg, train_cfg, batch_size,
-        fused_run=True, train_wall_seconds=elapsed)
+        fused_run=True, train_wall_seconds=elapsed,
+        mesh=dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     confusion = None
     if best_epoch > 0:
@@ -395,6 +411,7 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
     return TrainOutput(
         best_params=best_params, final_params=final_params, results=results,
         best_epoch=best_epoch, best_val_loss=best_val_loss,
+        best_score=best_score,
         results_path=results_path, best_model_path=best_path,
         final_model_path=final_path, hyperparameters=hyperparameters,
         confusion=confusion, norm_stats_path=stats_path)
@@ -406,6 +423,9 @@ class TrainOutput:
     final_params: Any
     results: List[dict]
     best_epoch: int
+    # Actual validation LOSS at the best epoch (always a loss, regardless
+    # of the selection metric — ADVICE r1: with best_metric="val_acc" the
+    # tracked score is -val_acc and must not masquerade as a loss).
     best_val_loss: float
     results_path: Optional[str]
     best_model_path: Optional[str]
@@ -413,6 +433,9 @@ class TrainOutput:
     hyperparameters: dict
     confusion: Optional[np.ndarray] = None
     norm_stats_path: Optional[str] = None
+    # The tracked selection score: val loss (best_metric="val_loss") or
+    # negated val accuracy (best_metric="val_acc").
+    best_score: float = float("inf")
 
 
 def train_model(data: DatasetArrays, splits: DataSplits,
@@ -434,7 +457,8 @@ def train_model(data: DatasetArrays, splits: DataSplits,
     """
     if fused:
         return _train_model_fused(data, splits, model_cfg, train_cfg,
-                                  batch_size, seed=seed, verbose=verbose)
+                                  batch_size, mesh_cfg=mesh_cfg, seed=seed,
+                                  verbose=verbose)
     mesh = create_mesh(mesh_cfg)
     model = MultimodalEmotionModel(model_cfg)
     optimizer = make_optimizer(train_cfg)
@@ -465,28 +489,52 @@ def train_model(data: DatasetArrays, splits: DataSplits,
                        batch_stats=batch_stats, rng=rng,
                        step=jnp.zeros((), jnp.int32))
 
+    scheduler = PlateauScheduler(train_cfg.scheduler_factor,
+                                 train_cfg.scheduler_patience)
+    lr = train_cfg.lr
+    results: List[dict] = []
+    best_score = float("inf")
+    best_params = None
+    best_epoch = 0
+    epochs_without_improvement = 0
+    previous_val_loss = float("inf")
+
     start_epoch = 0
     if resume_dir:
         latest = ckpt.latest_checkpoint(resume_dir)
         if latest:
-            state = ckpt.restore_train_state(latest, state)
-            start_epoch = int(os.path.basename(latest).split("_")[1].split(".")[0])
+            restored = ckpt.restore_loop_checkpoint(latest, state)
+            state = restored.state
+            start_epoch = int(
+                os.path.basename(latest).split("_")[1].split(".")[0])
+            if restored.loop is not None:
+                # Full loop state: the resumed run continues EXACTLY where
+                # the interrupted one left off (scheduler plateau counters,
+                # early-stop streak, best tracking) — ADVICE r1: without
+                # this, a fresh PlateauScheduler + lr=train_cfg.lr stomped
+                # any plateau-reduced lr after the first resumed epoch.
+                loop = restored.loop
+                lr = loop["lr"]
+                scheduler.best = loop["sched_best"]
+                scheduler.num_bad = loop["sched_bad"]
+                best_score = loop["best_score"]
+                best_epoch = loop["best_epoch"]
+                epochs_without_improvement = loop["no_improve"]
+                previous_val_loss = loop["prev_val_loss"]
+                if loop["has_best"]:
+                    best_params = restored.best_params
+            else:
+                # Legacy checkpoint (TrainState only): seed the lr from the
+                # restored optimizer state instead of train_cfg.lr.
+                lr = get_learning_rate(state.opt_state)
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
             if verbose:
                 print(f"Resumed from {latest} at epoch {start_epoch}")
 
     train_epoch = build_train_epoch(model, optimizer, train_cfg, batch_size,
                                     mesh=mesh)
     evaluate = build_eval(model, train_cfg, model_cfg.num_classes)
-
-    scheduler = PlateauScheduler(train_cfg.scheduler_factor,
-                                 train_cfg.scheduler_patience)
-    lr = train_cfg.lr
-    results: List[dict] = []
-    best_val_loss = float("inf")
-    best_params = None
-    best_epoch = 0
-    epochs_without_improvement = 0
-    previous_val_loss = float("inf")
 
     hyperparameters = _build_hyperparameters(
         model_cfg, train_cfg, batch_size,
@@ -511,8 +559,8 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         # best-model selection: v2 tracks val loss (train2.py:617-620),
         # v1 tracks val accuracy (train.py:334-338).
         score = val_loss if train_cfg.best_metric == "val_loss" else -val_acc
-        if score < best_val_loss:
-            best_val_loss = score
+        if score < best_score:
+            best_score = score
             # Real copy: state.params buffers are donated to the next epoch.
             best_params = jax.tree_util.tree_map(jnp.copy, state.params)
             best_epoch = epoch + 1
@@ -554,12 +602,6 @@ def train_model(data: DatasetArrays, splits: DataSplits,
                         f"Test Macro F1: {row['test_macro_f1']:.4f}")
             print(msg, flush=True)
 
-        # Periodic full-state checkpoint for mid-run resume.
-        if (train_cfg.checkpoint_every
-                and (epoch + 1) % train_cfg.checkpoint_every == 0):
-            ckpt_dir = os.path.join(train_cfg.output_dir, "checkpoints")
-            ckpt.save_train_state(ckpt_dir, state, epoch + 1)
-
         # Early stopping on per-epoch improvement (train2.py:622-633).
         if previous_val_loss - val_loss < train_cfg.min_delta:
             epochs_without_improvement += 1
@@ -570,6 +612,22 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         else:
             epochs_without_improvement = 0
         previous_val_loss = val_loss
+
+        # Periodic full-state checkpoint for mid-run resume (params +
+        # optimizer + rng + scheduler/early-stop/best-tracking state,
+        # captured AFTER this epoch's updates so a resumed run continues
+        # the interrupted one exactly).
+        if (train_cfg.checkpoint_every
+                and (epoch + 1) % train_cfg.checkpoint_every == 0):
+            ckpt_dir = os.path.join(train_cfg.output_dir, "checkpoints")
+            ckpt.save_loop_checkpoint(
+                ckpt_dir, state, epoch + 1, best_params,
+                {"lr": lr, "sched_best": scheduler.best,
+                 "sched_bad": scheduler.num_bad, "best_score": best_score,
+                 "best_epoch": best_epoch,
+                 "no_improve": epochs_without_improvement,
+                 "prev_val_loss": previous_val_loss,
+                 "has_best": best_params is not None})
 
     elapsed = time.time() - t_start
     hyperparameters["train_wall_seconds"] = elapsed
@@ -589,9 +647,12 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         data, train_cfg, batch_size, results, best_epoch, hyperparameters,
         confusion, best_params, state.params, verbose)
 
+    best_val_loss = next((r["val_loss"] for r in results
+                          if r["epoch"] == best_epoch), float("inf"))
     return TrainOutput(
         best_params=best_params, final_params=state.params, results=results,
         best_epoch=best_epoch, best_val_loss=best_val_loss,
+        best_score=best_score,
         results_path=results_path, best_model_path=best_path,
         final_model_path=final_path, hyperparameters=hyperparameters,
         confusion=confusion, norm_stats_path=stats_path)

@@ -42,3 +42,41 @@ def test_periodic_checkpoints_and_resume(tiny_dataset, tmp_path):
     # The resumed first epoch continues training (loss near the end of run
     # A, not back at the start).
     assert out_b.results[0]["train_loss"] < out_a.results[0]["train_loss"]
+
+
+def test_resume_matches_uninterrupted_run(tiny_dataset, tmp_path):
+    """ADVICE r1: a resumed run must continue the interrupted one EXACTLY —
+    scheduler plateau counters, reduced lr, early-stop streak and best
+    tracking all restore, so epochs 3-4 of (2 + resume 2) equal epochs 3-4
+    of an uninterrupted 4-epoch run."""
+    data, splits = tiny_dataset
+    # scheduler_patience=0: the first non-improving epoch already reduces
+    # the lr, so lr restoration is actually exercised within 4 epochs.
+    common = dict(lr=1e-3, patience=10 ** 9, scheduler_patience=0,
+                  scheduler_factor=0.5)
+
+    full = train_model(
+        data, splits, CFG,
+        TrainConfig(num_epochs=4, save_checkpoints=False, **common),
+        batch_size=32, verbose=False)
+
+    out_dir = str(tmp_path / "part")
+    train_model(
+        data, splits, CFG,
+        TrainConfig(num_epochs=2, output_dir=out_dir, checkpoint_every=2,
+                    **common),
+        batch_size=32, verbose=False)
+    resumed = train_model(
+        data, splits, CFG,
+        TrainConfig(num_epochs=4, save_checkpoints=False, **common),
+        batch_size=32, verbose=False,
+        resume_dir=os.path.join(out_dir, "checkpoints"))
+
+    assert [r["epoch"] for r in resumed.results] == [3, 4]
+    for row_resumed, row_full in zip(resumed.results, full.results[2:]):
+        for key in ("train_loss", "val_loss", "val_acc", "val_macro_f1"):
+            np.testing.assert_allclose(row_resumed[key], row_full[key],
+                                       rtol=1e-5, err_msg=key)
+    assert resumed.best_epoch == full.best_epoch
+    np.testing.assert_allclose(resumed.best_score, full.best_score,
+                               rtol=1e-5)

@@ -144,6 +144,20 @@ def test_multipart_parser():
     assert fields["note"] == ("", b"hello")
 
 
+def test_multipart_parser_keeps_crlf_tail_bytes():
+    """ADVICE r1: binary payloads legitimately ending in 0x0D/0x0A bytes
+    must survive parsing intact (the old .strip(b"\\r\\n") truncated them)."""
+    boundary = "XBOUND"
+    payload = b"\x00mp4-tail\r\n\r\n\n\r"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; filename="v.mp4"'
+            "\r\n\r\n").encode() + payload \
+        + f"\r\n--{boundary}--\r\n".encode()
+    fields = parse_multipart(body,
+                             f'multipart/form-data; boundary={boundary}')
+    assert fields["file"] == ("v.mp4", payload)
+
+
 @pytest.fixture(scope="module")
 def live_server(engine):
     from http.server import ThreadingHTTPServer
@@ -179,6 +193,12 @@ def test_http_infer_roundtrip(live_server, face_video):
         res = json.loads(r.read())
     assert set(res) == {"bounding_box", "inference"}
     assert res["inference"] and "feature_importance" in res["inference"][0]
+
+
+def test_fusion_logits_fn_is_stable(engine):
+    """ADVICE r1: the IG logits closure must be built once — a fresh
+    closure per request recompiles the IG graph every time."""
+    assert engine.fusion_logits_fn is engine.fusion_logits_fn
 
 
 def test_garbage_upload_returns_empty_result(engine):

@@ -94,6 +94,24 @@ def test_long_clip_chunking():
     np.testing.assert_allclose(np.linalg.norm(out[0]), 1.0, rtol=1e-5)
 
 
+def test_sub_receptive_field_clip_is_zero_not_nan():
+    """ADVICE r1: a waveform shorter than the conv stack's receptive field
+    has 0 output frames; it must embed to a finite ZERO vector (the
+    no-audio fallback), not softmax(all -inf) = NaN — and must not poison
+    other clips in the same batch."""
+    emb = AudioEmbedder(TINY)
+    rng = np.random.default_rng(3)
+    short = rng.normal(size=(6,)).astype(np.float32)   # < kernel 10 → 0 frames
+    normal = rng.normal(size=(16000,)).astype(np.float32)
+
+    out = emb.embed_batch([short, normal])
+    assert np.all(np.isfinite(out))
+    np.testing.assert_array_equal(out[0], np.zeros(TINY.hidden_dim))
+    np.testing.assert_allclose(np.linalg.norm(out[1]), 1.0, rtol=1e-5)
+    solo = emb.embed_batch([normal])
+    np.testing.assert_allclose(out[1], solo[0], atol=2e-4)
+
+
 def test_audio_output_naming():
     # CREMA-D: underscores kept (voice_extractor.py:90-94)
     assert audio_output_name("1001_DFA_ANG_XX.mp3") == \
