@@ -34,12 +34,20 @@ from mmer_tpu.preprocess.video import (feature_output_name, iter_video_files,
 
 
 class VideoFeatureExtractor:
-    """Batched, jitted ViViT chunk embedder."""
+    """Batched, jitted ViViT chunk embedder.
+
+    With a multi-device ``mesh``, the chunk batch is sharded over the data
+    axis so a v5e-8 embeds 8 device-batches at once — the multi-chip
+    fan-out of the reference's batch-1 hot loop (video_extractor.py:152-156,
+    SURVEY §7: this is where the 10× wall-clock lives).  Params are
+    replicated; XLA needs no collectives at all (embarrassingly parallel).
+    """
 
     def __init__(self, cfg: Optional[ViViTConfig] = None,
                  device_batch: int = 8,
                  params_path: Optional[str] = None,
-                 use_flash: bool = True):
+                 use_flash: bool = True,
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -48,7 +56,6 @@ class VideoFeatureExtractor:
                                                save_params_msgpack)
 
         self.cfg = cfg or ViViTConfig()
-        self.device_batch = device_batch
         self._jnp = jnp
         model, params = init_vivit_params(self.cfg, use_flash=use_flash)
         if params_path:
@@ -66,7 +73,23 @@ class VideoFeatureExtractor:
                 x = x.astype(jnp.float32) / 255.0
             return model.apply(p, x)
 
-        self._apply = jax.jit(_embed)
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            from mmer_tpu.core.mesh import (data_sharding,
+                                            replicated_sharding)
+            n_data = self.mesh.devices.shape[0]
+            # device_batch is the GLOBAL batch: round up so every chip gets
+            # an identical per-chip block (one compiled program).
+            self.device_batch = -(-device_batch // n_data) * n_data
+            self.params = jax.device_put(params, replicated_sharding(mesh))
+            self._apply = jax.jit(
+                _embed,
+                in_shardings=(replicated_sharding(mesh),
+                              data_sharding(mesh, 5)),
+                out_shardings=data_sharding(mesh, 2))
+        else:
+            self.device_batch = device_batch
+            self._apply = jax.jit(_embed)
 
     def embed_chunks(self, chunks: np.ndarray) -> np.ndarray:
         """(N, F, H, W, C) float32 in [0,1] or raw uint8 → (N, 768); pads N
@@ -203,6 +226,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     pv.add_argument("--device_batch", type=int, default=8)
     pv.add_argument("--params", default=None,
                     help="persisted ViViT params (created on first use)")
+    pv.add_argument("--mesh", action="store_true",
+                    help="shard chunk batches over all devices (dp mesh)")
 
     pa = sub.add_parser("audio", help="extract (1024,) audio embeddings")
     pa.add_argument("--input", required=True)
@@ -213,8 +238,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from mmer_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
     if args.modality == "video":
+        mesh = None
+        if args.mesh:
+            from mmer_tpu.config import MeshConfig
+            from mmer_tpu.core.mesh import create_mesh
+            mesh = create_mesh(MeshConfig())
         extractor = VideoFeatureExtractor(device_batch=args.device_batch,
-                                          params_path=args.params)
+                                          params_path=args.params,
+                                          mesh=mesh)
         extract_video_folder(args.input, args.output, extractor,
                              chunk_size=args.chunk_size)
     else:

@@ -1,0 +1,48 @@
+"""Multi-chip extraction fan-out: the ViViT chunk batch sharded over the
+data axis of an 8-device CPU mesh must produce the same embeddings as the
+single-device extractor (VERDICT r1 #5 — the reference's batch-1 hot loop,
+video_extractor.py:152-156, fanned out over ICI)."""
+
+import jax
+import numpy as np
+import pytest
+
+from mmer_tpu.config import MeshConfig, ViViTConfig
+from mmer_tpu.core.mesh import create_mesh
+from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+TINY = ViViTConfig(image_size=(32, 32), patch_size=(16, 16), num_frames=8,
+                   tubelet_size=4, dim=64, depth=2, heads=2, dim_head=32,
+                   mlp_dim=128, compute_dtype="float32")
+
+
+def test_sharded_extraction_matches_single_device():
+    mesh = create_mesh(MeshConfig())   # 8-way data axis
+    # flash attention runs in interpret mode only per-device on CPU; use
+    # the plain XLA path for the mesh test.
+    single = VideoFeatureExtractor(TINY, device_batch=8, use_flash=False)
+    sharded = VideoFeatureExtractor(TINY, device_batch=8, use_flash=False,
+                                    mesh=mesh)
+    assert sharded.device_batch == 8   # already a multiple of 8
+
+    rng = np.random.default_rng(0)
+    chunks = (rng.random((13, 8, 32, 32, 3)) * 255).astype(np.uint8)
+    want = single.embed_chunks(chunks)
+    got = sharded.embed_chunks(chunks)
+    assert got.shape == (13, 64)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_global_batch_rounds_up_to_mesh_multiple():
+    mesh = create_mesh(MeshConfig())
+    ex = VideoFeatureExtractor(TINY, device_batch=6, use_flash=False,
+                               mesh=mesh)
+    assert ex.device_batch == 8
+    rng = np.random.default_rng(1)
+    chunks = rng.random((3, 8, 32, 32, 3)).astype(np.float32)
+    out = ex.embed_chunks(chunks)
+    assert out.shape == (3, 64)
+    assert np.all(np.isfinite(out))

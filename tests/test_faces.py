@@ -113,3 +113,59 @@ def test_haar_detector_finds_real_face():
     noise = (np.random.default_rng(0).random((120, 160, 3)) * 255
              ).astype(np.uint8)
     assert det.detect(noise) == []
+
+
+REF_FACE_VIDEO = "/root/reference/front-end/public/test.mp4"
+REF_PATTERN_VIDEO = "/root/reference/back-end/test_sample.mp4"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FACE_VIDEO),
+                    reason="reference test video not present")
+def test_detector_recall_floor_on_reference_face_video():
+    """Detection-rate floor on the reference's own shipped real-face video
+    (VERDICT r1 #6; no YOLO bbox ground truth ships in this copy, so the
+    scorer uses detection rate + temporal stability — measured 88% with
+    ~4 px center jitter; floor set with margin)."""
+    pytest.importorskip("cv2")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from score_detector import score_video
+
+    res = score_video(REF_FACE_VIDEO)
+    assert res["frames"] > 50
+    assert res["detection_rate"] >= 0.75, res
+    assert max(res["center_std_px"]) < 15.0, res   # stable, not flicker
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PATTERN_VIDEO),
+                    reason="reference test video not present")
+def test_detector_specificity_on_test_pattern():
+    """The reference's serving smoke video is a color-bar TEST PATTERN with
+    no face; the detector must produce zero false positives on it."""
+    pytest.importorskip("cv2")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from score_detector import score_video
+
+    res = score_video(REF_PATTERN_VIDEO)
+    assert res["detection_rate"] == 0.0, res
+
+
+def test_scorer_gt_parsing_and_iou(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from score_detector import iou, load_gt
+
+    p = tmp_path / "v_bboxes.txt"
+    p.write_text("0,10,20,110,120,0.97\n0,5,5,50,50,0.8\n2,0,0,10,10,0.9\n")
+    gt = load_gt(str(p))
+    assert set(gt) == {0, 2} and len(gt[0]) == 2
+    np.testing.assert_allclose(gt[0][0], [10, 20, 110, 120])
+
+    a = np.asarray([0, 0, 10, 10], float)
+    assert iou(a, a) == pytest.approx(1.0)
+    assert iou(a, np.asarray([20, 20, 30, 30], float)) == 0.0
+    assert iou(a, np.asarray([5, 0, 15, 10], float)) == pytest.approx(1 / 3)

@@ -94,6 +94,47 @@ def test_long_clip_chunking():
     np.testing.assert_allclose(np.linalg.norm(out[0]), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_parity_full_size_config():
+    """VERDICT r1 #7: prove the converter at the REAL checkpoint shape —
+    hidden 1024 / 24 layers / 16 heads / the full 7-conv feature encoder
+    (audeering/wav2vec2-large-robust-12-ft-emotion-msp-dim config,
+    reference voice_extractor.py:16) — against torch with random weights,
+    so the one-shot real port is de-risked without network access."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax.numpy as jnp
+
+    from mmer_tpu.models.wav2vec2 import Wav2Vec2Encoder
+
+    full = Wav2Vec2Config(compute_dtype="float32")  # real shape, f32 compute
+    hf_cfg = transformers.Wav2Vec2Config(
+        hidden_size=full.hidden_dim, num_hidden_layers=full.num_layers,
+        num_attention_heads=full.num_heads, intermediate_size=full.ffn_dim,
+        conv_dim=full.conv_dims, conv_kernel=full.conv_kernels,
+        conv_stride=full.conv_strides,
+        num_conv_pos_embeddings=full.num_conv_pos_embeddings,
+        num_conv_pos_embedding_groups=full.num_conv_pos_embedding_groups,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+        conv_bias=True, layerdrop=0.0)
+    torch.manual_seed(0)
+    hf_model = transformers.Wav2Vec2Model(hf_cfg)
+    hf_model.eval()
+
+    rng = np.random.default_rng(0)
+    wave = rng.normal(size=(1, 8000)).astype(np.float32)  # 0.5 s @ 16 kHz
+
+    with torch.no_grad():
+        want = hf_model(torch.from_numpy(wave)).last_hidden_state.numpy()
+
+    model = Wav2Vec2Encoder(full)
+    params = convert_hf_state(hf_model, full)
+    got = np.asarray(model.apply(params, jnp.asarray(wave)))
+
+    assert got.shape == want.shape == (1, 24, 1024)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=5e-3)
+
+
 def test_sub_receptive_field_clip_is_zero_not_nan():
     """ADVICE r1: a waveform shorter than the conv stack's receptive field
     has 0 output frames; it must embed to a finite ZERO vector (the
