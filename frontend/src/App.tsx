@@ -7,7 +7,7 @@ import { useCallback, useMemo, useState } from "react";
 import AudioWaveform from "./components/AudioWaveform";
 import FeatureImportanceChart from "./components/FeatureImportanceChart";
 import VideoPlayer from "./components/VideoPlayer";
-import { checkHealth, inferVideo, isFlv } from "./lib/api";
+import { checkHealth, inferVideo, isFlv, remuxFlv } from "./lib/api";
 import type { InferResponse } from "./types";
 import { EMOTION_COLORS } from "./types";
 import "./app.css";
@@ -30,8 +30,13 @@ export default function App() {
     if (f) {
       setVideoUrl(URL.createObjectURL(f));
       // The reference transcodes FLV in-browser via ffmpeg.wasm; here the
-      // backend handles every container and the player just warns.
-      if (await isFlv(f)) setFlvNotice(true);
+      // backend copy-remuxes H.264/AAC FLVs to MP4 (POST /remux/) so the
+      // player previews real MP4 bytes. Non-remuxable codecs → notice.
+      if (await isFlv(f)) {
+        const mp4 = await remuxFlv(f);
+        if (mp4) setVideoUrl(URL.createObjectURL(mp4));
+        else setFlvNotice(true);
+      }
     } else {
       setVideoUrl("");
     }

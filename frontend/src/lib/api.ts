@@ -53,9 +53,11 @@ export async function inferVideo(
 
 // FLV uploads: the reference transcodes FLV→MP4 in-browser with ffmpeg.wasm
 // before playback (reference VideoPlayer.tsx:389-441).  This build keeps the
-// wasm bundle out of the critical path: the backend decodes every container
-// server-side, so inference always works; browsers just can't *preview*
-// FLV natively — the player shows a notice instead.
+// wasm bundle out of the critical path: the backend remuxes H.264/AAC FLVs
+// to MP4 in pure Python (POST /remux/, serve/remux.py — a byte copy, no
+// transcode) and the player previews the returned MP4.  FLVs with other
+// codecs come back 415 and the player shows a notice instead; inference
+// always runs server-side regardless.
 export function isFlv(file: File): Promise<boolean> {
   return file
     .slice(0, 3)
@@ -64,4 +66,18 @@ export function isFlv(file: File): Promise<boolean> {
       const b = new Uint8Array(buf);
       return b[0] === 0x46 && b[1] === 0x4c && b[2] === 0x56; // "FLV"
     });
+}
+
+// FLV → playable MP4 via the backend copy-remux; null when the FLV's
+// codecs require a real transcode (HTTP 415) or the backend is down.
+export async function remuxFlv(file: File): Promise<Blob | null> {
+  try {
+    const form = new FormData();
+    form.append("file", file);
+    const res = await fetch(`${BASE}/remux/`, { method: "POST", body: form });
+    if (!res.ok) return null;
+    return await res.blob();
+  } catch {
+    return null;
+  }
 }

@@ -6,6 +6,11 @@ Routes (reference back-end/app/main.py, routers/ping.py, routers/infer.py):
 - ``POST /infer/?subchunk_size=32&window_size=5&explain=false`` with a
   multipart ``file`` field → ``{"bounding_box": [...], "inference": [...]}``;
   500 + ``{"detail": ...}`` on processing errors.
+- ``POST /remux/`` with a multipart ``file`` field holding an H.264/AAC FLV
+  → the same media remuxed into ``video/mp4`` (serve/remux.py, pure
+  Python).  Replaces the reference's in-browser ffmpeg.wasm FLV→MP4
+  conversion (front-end VideoPlayer.tsx:389-441) with a backend copy-remux;
+  415 + ``{"detail": ...}`` for FLVs that would need a real transcode.
 
 Why not FastAPI: this deployment image has no fastapi/uvicorn/starlette, so
 the server is a threaded stdlib ``http.server`` with a small multipart
@@ -115,21 +120,59 @@ def make_handler(engine: InferenceEngine):
             else:
                 self._send_json(404, {"detail": "Not Found"})
 
+        def _read_upload(self) -> Optional[Tuple[str, bytes]]:
+            """Multipart body → (filename, payload) or None after a 422."""
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length)
+            fields = parse_multipart(body,
+                                     self.headers.get("Content-Type", ""))
+            if "file" not in fields:
+                self._send_json(422, {"detail": "missing 'file' field"})
+                return None
+            return fields["file"]
+
+        def _do_remux(self) -> None:
+            from mmer_tpu.serve.remux import RemuxError, flv_to_mp4
+
+            upload = self._read_upload()
+            if upload is None:
+                return
+            filename, payload = upload
+            try:
+                mp4 = flv_to_mp4(payload)
+            except RemuxError as e:
+                self._send_json(415, {"detail": str(e)})
+                return
+            self.send_response(200)
+            origin = self.headers.get("Origin", "")
+            if origin in CORS_ORIGINS:
+                self.send_header("Access-Control-Allow-Origin", origin)
+                self.send_header("Access-Control-Allow-Credentials", "true")
+            self.send_header("Content-Type", "video/mp4")
+            self.send_header("Content-Length", str(len(mp4)))
+            self.end_headers()
+            self.wfile.write(mp4)
+            print(f"/remux: {filename} ({len(payload)} B FLV → "
+                  f"{len(mp4)} B MP4)", flush=True)
+
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path.rstrip("/") == "/remux":
+                try:
+                    self._do_remux()
+                except Exception as e:
+                    traceback.print_exc()
+                    self._send_json(500, {"detail": str(e)})
+                return
             if url.path.rstrip("/") != "/infer":
                 self._send_json(404, {"detail": "Not Found"})
                 return
             q = parse_qs(url.query)
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                body = self.rfile.read(length)
-                fields = parse_multipart(
-                    body, self.headers.get("Content-Type", ""))
-                if "file" not in fields:
-                    self._send_json(422, {"detail": "missing 'file' field"})
+                upload = self._read_upload()
+                if upload is None:
                     return
-                filename, payload = fields["file"]
+                filename, payload = upload
                 print(f"Received /infer request for file: {filename}",
                       flush=True)
                 with lock:
@@ -186,6 +229,19 @@ def build_fastapi_app(engine: Optional[InferenceEngine] = None):
     @app.get("/health")
     async def health():
         return {"status": "ok"}
+
+    @app.post("/remux/", status_code=200)
+    async def remux(file: UploadFile = File(...)):
+        from fastapi.responses import Response
+
+        from mmer_tpu.serve.remux import RemuxError, flv_to_mp4
+
+        data = await file.read()
+        try:
+            mp4 = flv_to_mp4(data)
+        except RemuxError as e:
+            raise HTTPException(status_code=415, detail=str(e))
+        return Response(content=mp4, media_type="video/mp4")
 
     @app.post("/infer/", status_code=200)
     async def infer(file: UploadFile = File(...), subchunk_size: int = 32,

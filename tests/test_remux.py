@@ -1,0 +1,308 @@
+"""FLV → MP4 copy-remux tests (serve/remux.py).
+
+Builds a synthetic-but-spec-valid H.264/AAC FLV (real SPS bitstream, real
+AudioSpecificConfig, opaque sample payloads — the remux never inspects
+payload bytes), remuxes it, then validates the MP4 with an independent box
+parser: hierarchy, sample tables, byte-exact payload mapping through
+stco/stsz, keyframe table, and timing.  Mirrors the capability of the
+reference's in-browser ffmpeg.wasm FLV→MP4 conversion
+(front-end/src/components/VideoPlayer.tsx:389-441).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from mmer_tpu.serve.remux import (RemuxError, flv_to_mp4,
+                                  parse_audio_specific_config, parse_flv,
+                                  parse_sps)
+
+# --------------------------------------------------------------------------
+# Synthetic FLV construction
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def u(self, value: int, bits: int):
+        for i in reversed(range(bits)):
+            self.bits.append((value >> i) & 1)
+
+    def ue(self, value: int):
+        code = value + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def bytes(self) -> bytes:
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(int("".join(map(str, bits[i:i + 8])), 2)
+                     for i in range(0, len(bits), 8))
+
+
+def make_sps(width_mbs: int = 20, height_mbs: int = 15) -> bytes:
+    """Baseline-profile SPS for (width_mbs*16) x (height_mbs*16) pixels."""
+    w = _BitWriter()
+    w.u(0x67, 8)         # NAL header: type 7 (SPS)
+    w.u(66, 8)           # profile_idc baseline
+    w.u(0, 8)            # constraint flags
+    w.u(30, 8)           # level_idc
+    w.ue(0)              # sps_id
+    w.ue(0)              # log2_max_frame_num_minus4
+    w.ue(0)              # pic_order_cnt_type
+    w.ue(0)              # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)              # max_num_ref_frames
+    w.u(0, 1)            # gaps_in_frame_num_allowed
+    w.ue(width_mbs - 1)  # pic_width_in_mbs_minus1
+    w.ue(height_mbs - 1)  # pic_height_in_map_units_minus1
+    w.u(1, 1)            # frame_mbs_only_flag
+    w.u(0, 1)            # direct_8x8_inference
+    w.u(0, 1)            # frame_cropping_flag
+    w.u(0, 1)            # vui_parameters_present
+    w.u(1, 1)            # rbsp_stop_one_bit
+    return w.bytes()
+
+
+def make_avcc(sps: bytes, pps: bytes = b"\x68\xce\x38\x80") -> bytes:
+    return (bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+            + struct.pack(">H", len(sps)) + sps
+            + bytes([1]) + struct.pack(">H", len(pps)) + pps)
+
+
+AAC_LC_16K_MONO_ASC = bytes([0x14, 0x08])   # AAC-LC, 16 kHz, 1 channel
+
+
+def _flv_tag(tag_type: int, ts: int, body: bytes) -> bytes:
+    return (bytes([tag_type]) + len(body).to_bytes(3, "big")
+            + (ts & 0xFFFFFF).to_bytes(3, "big") + bytes([ts >> 24])
+            + b"\x00\x00\x00" + body
+            + struct.pack(">I", 11 + len(body)))
+
+
+def video_tag(ts: int, payload: bytes, keyframe: bool, pkt: int = 1,
+              cts: int = 0) -> bytes:
+    head = bytes([((1 if keyframe else 2) << 4) | 7, pkt]) \
+        + (cts & 0xFFFFFF).to_bytes(3, "big")
+    return _flv_tag(9, ts, head + payload)
+
+
+def audio_tag(ts: int, payload: bytes, pkt: int = 1) -> bytes:
+    return _flv_tag(8, ts, bytes([0xAF, pkt]) + payload)
+
+
+def nalu(payload: bytes) -> bytes:
+    """One AVCC (length-prefixed) NALU sample body."""
+    return struct.pack(">I", len(payload)) + payload
+
+
+VIDEO_SAMPLES = [nalu(bytes([0x65]) + b"IFRAME-PAYLOAD-0"),
+                 nalu(bytes([0x41]) + b"pframe-payload-1"),
+                 nalu(bytes([0x41]) + b"pframe-payload-2"),
+                 nalu(bytes([0x65]) + b"IFRAME-PAYLOAD-3")]
+AUDIO_SAMPLES = [b"aac-frame-%d" % i for i in range(5)]
+
+
+def make_flv(with_audio: bool = True, with_video: bool = True,
+             video_cts=(0, 80, 40, 0)) -> bytes:
+    out = bytearray(b"FLV\x01" + bytes([0x05 if with_audio and with_video
+                                        else 0x01 if with_video else 0x04])
+                    + struct.pack(">I", 9) + b"\x00\x00\x00\x00")
+    if with_video:
+        out += video_tag(0, make_avcc(make_sps()), True, pkt=0)
+    if with_audio:
+        out += audio_tag(0, AAC_LC_16K_MONO_ASC, pkt=0)
+    for i, s in enumerate(VIDEO_SAMPLES if with_video else []):
+        out += video_tag(i * 40, s, s[4] == 0x65, cts=video_cts[i])
+    for i, s in enumerate(AUDIO_SAMPLES if with_audio else []):
+        out += audio_tag(i * 64, s)       # 1024 samples @ 16 kHz = 64 ms
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Independent MP4 box parsing (the validator)
+# --------------------------------------------------------------------------
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"dinf"}
+
+
+def parse_boxes(data: bytes, prefix: str = "") -> dict:
+    """Flat {path: payload} map of the box tree (first occurrence wins
+    except traks, which are numbered)."""
+    out, off, trak_i = {}, 0, 0
+    while off + 8 <= len(data):
+        size = struct.unpack(">I", data[off:off + 4])[0]
+        typ = data[off + 4:off + 8]
+        assert size >= 8, f"bad box size {size} at {prefix}+{off}"
+        body = data[off + 8:off + size]
+        name = typ.decode()
+        if typ == b"trak":
+            name = f"trak{trak_i}"
+            trak_i += 1
+        path = f"{prefix}/{name}"
+        out[path] = body
+        if typ in _CONTAINERS:
+            out.update(parse_boxes(body, path))
+        off += size
+    assert off == len(data), f"trailing garbage after boxes at {prefix}"
+    return out
+
+
+def _leaf(container: bytes, typ: bytes) -> bytes:
+    off = 0
+    while off + 8 <= len(container):
+        size = struct.unpack(">I", container[off:off + 4])[0]
+        if container[off + 4:off + 8] == typ:
+            return container[off + 8:off + size]
+        off += size
+    raise AssertionError(f"box {typ!r} not found")
+
+
+def table_u32(container: bytes, typ: bytes, skip_ver: bool = True):
+    raw = _leaf(container, typ)
+    if skip_ver:
+        raw = raw[4:]
+    count = struct.unpack(">I", raw[:4])[0]
+    return list(struct.unpack(f">{count}I", raw[4:4 + 4 * count]))
+
+
+# --------------------------------------------------------------------------
+# Tests
+# --------------------------------------------------------------------------
+
+def test_sps_roundtrip():
+    assert parse_sps(make_sps(20, 15)) == (320, 240)
+    assert parse_sps(make_sps(80, 45)) == (1280, 720)
+
+
+def test_asc_parse():
+    assert parse_audio_specific_config(AAC_LC_16K_MONO_ASC) == (16000, 1,
+                                                                1024)
+
+
+def test_flv_demux():
+    s = parse_flv(make_flv())
+    assert s.avcc == make_avcc(make_sps())
+    assert s.asc == AAC_LC_16K_MONO_ASC
+    assert [p for (_, _, _, p) in s.video] == VIDEO_SAMPLES
+    assert [(t, p) for (t, p) in s.audio] == [
+        (i * 64, p) for i, p in enumerate(AUDIO_SAMPLES)]
+    assert [c for (_, c, _, _) in s.video] == [0, 80, 40, 0]
+    assert [k for (_, _, k, _) in s.video] == [True, False, False, True]
+
+
+def test_remux_structure_and_payload_mapping():
+    mp4 = flv_to_mp4(make_flv())
+    boxes = parse_boxes(mp4)
+    assert "/ftyp" in boxes and "/mdat" in boxes and "/moov" in boxes
+    assert "/moov/trak0" in boxes and "/moov/trak1" in boxes
+
+    for trak, samples in (("trak0", VIDEO_SAMPLES), ("trak1", AUDIO_SAMPLES)):
+        stbl = boxes[f"/moov/{trak}/mdia/minf/stbl"]
+        sizes_raw = _leaf(stbl, b"stsz")[4:]
+        fixed, count = struct.unpack(">II", sizes_raw[:8])
+        sizes = list(struct.unpack(f">{count}I",
+                                   sizes_raw[8:8 + 4 * count]))
+        offsets = table_u32(stbl, b"stco")
+        assert sizes == [len(s) for s in samples]
+        # stco offsets are absolute: the payload bytes must be there.
+        for off, s in zip(offsets, samples):
+            assert mp4[off:off + len(s)] == s
+
+    # keyframes (1-indexed) from FLV frame_type
+    video_stbl = boxes["/moov/trak0/mdia/minf/stbl"]
+    assert table_u32(video_stbl, b"stss") == [1, 4]
+
+    # avcC copied verbatim; SPS-derived dimensions in tkhd
+    stsd = _leaf(video_stbl, b"stsd")
+    assert make_avcc(make_sps()) in stsd
+    tkhd = boxes["/moov/trak0/tkhd"]
+    width, height = struct.unpack(">II", tkhd[-8:])
+    assert (width >> 16, height >> 16) == (320, 240)
+
+    # video stts: constant 40 ms deltas at movie timescale 1000
+    stts_raw = _leaf(video_stbl, b"stts")[4:]
+    n = struct.unpack(">I", stts_raw[:4])[0]
+    runs = [struct.unpack(">II", stts_raw[4 + 8 * i:12 + 8 * i])
+            for i in range(n)]
+    assert sum(c for c, _ in runs) == len(VIDEO_SAMPLES)
+    assert all(d == 40 for _, d in runs)
+
+    # ctts present (non-zero composition offsets in the input)
+    ctts_raw = _leaf(video_stbl, b"ctts")[4:]
+    n = struct.unpack(">I", ctts_raw[:4])[0]
+    ctts = []
+    for i in range(n):
+        c, o = struct.unpack(">Ii", ctts_raw[4 + 8 * i:12 + 8 * i])
+        ctts.extend([o] * c)
+    assert ctts == [0, 80, 40, 0]
+
+    # audio: samplerate timescale, constant 1024-sample deltas, esds ASC
+    audio_stbl = boxes["/moov/trak1/mdia/minf/stbl"]
+    mdhd = boxes["/moov/trak1/mdia"]
+    timescale = struct.unpack(">I", _leaf(mdhd, b"mdhd")[12:16])[0]
+    assert timescale == 16000
+    assert AAC_LC_16K_MONO_ASC in _leaf(audio_stbl, b"stsd")
+
+
+def test_remux_video_only_and_audio_only():
+    for kwargs in ({"with_audio": False}, {"with_video": False}):
+        mp4 = flv_to_mp4(make_flv(**kwargs))
+        boxes = parse_boxes(mp4)
+        assert "/moov/trak0" in boxes and "/moov/trak1" not in boxes
+
+
+def test_remux_rejects_non_avc_and_garbage():
+    with pytest.raises(RemuxError):
+        flv_to_mp4(b"\x00" * 64)
+    # Sorenson H.263 video codec id 2 → explicit transcode-needed error
+    flv = bytearray(make_flv(with_audio=False))
+    # first video tag body starts at header(9)+4 prev size+11 tag header
+    flv[9 + 4 + 11] = (1 << 4) | 2
+    with pytest.raises(RemuxError, match="not AVC"):
+        flv_to_mp4(bytes(flv))
+    with pytest.raises(RemuxError, match="no media samples"):
+        flv_to_mp4(b"FLV\x01\x05" + struct.pack(">I", 9) + b"\x00" * 4)
+
+
+def test_remux_http_endpoint():
+    from http.server import ThreadingHTTPServer
+
+    from mmer_tpu.serve.app import make_handler
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine=None))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        boundary = "remuxbound42"
+
+        def post(payload: bytes):
+            body = (f"--{boundary}\r\n"
+                    'Content-Disposition: form-data; name="file"; '
+                    'filename="clip.flv"\r\n\r\n').encode() + payload \
+                + f"\r\n--{boundary}--\r\n".encode()
+            req = urllib.request.Request(
+                base + "/remux/", data=body, method="POST",
+                headers={"Content-Type":
+                         f"multipart/form-data; boundary={boundary}"})
+            return urllib.request.urlopen(req)
+
+        with post(make_flv()) as r:
+            assert r.headers["Content-Type"] == "video/mp4"
+            mp4 = r.read()
+        assert mp4 == flv_to_mp4(make_flv())
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            post(b"not an flv at all")
+        assert ei.value.code == 415
+        assert "detail" in json.loads(ei.value.read())
+    finally:
+        httpd.shutdown()
