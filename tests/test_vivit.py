@@ -40,6 +40,39 @@ def test_flash_attention_padding_is_masked():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_flash_attention_head_groups_and_q_blocks():
+    """Multi-head-group, multi-q-block grid (the production layout) must
+    match the reference, including key-padding masking (S=40 → S_pad=128
+    with block_q=64 → 2 q-blocks; H=4 with block_h=2 → 2 head groups)."""
+    rng = np.random.default_rng(4)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 4, 40, 64)), jnp.float32)
+               for _ in range(3))
+    got = flash_attention(q, k, v, block_q=64, block_h=2, interpret=True)
+    want = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_pick_blocks_vmem_model():
+    """The block picker must return dividing, VMEM-feasible blocks; at the
+    ViViT production shape it picks the documented (416, 6)."""
+    from mmer_tpu.ops.flash_attention import (_VMEM_BUDGET, _pick_blocks,
+                                              _vmem_bytes)
+
+    bq, bh = _pick_blocks(h=12, s_pad=1664, d=64, itemsize=2)
+    assert (bq, bh) == (416, 6)
+    assert 1664 % bq == 0 and 12 % bh == 0
+    assert _vmem_bytes(bq, bh, 1664, 64, 2) <= _VMEM_BUDGET
+
+    # Sweep odd shapes: blocks must always divide and fit.
+    for h in (1, 2, 3, 8, 16):
+        for s_pad in (128, 384, 1024, 4096, 8192):
+            bq, bh = _pick_blocks(h, s_pad, 64, 2)
+            assert s_pad % bq == 0 and h % bh == 0, (h, s_pad)
+            assert _vmem_bytes(bq, bh, s_pad, 64, 2) <= _VMEM_BUDGET, \
+                (h, s_pad, bq, bh)
+
+
 def test_vivit_shapes_and_determinism():
     model, params = init_vivit_params(TINY, use_flash=False)
     rng = np.random.default_rng(0)
