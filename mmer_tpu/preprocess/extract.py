@@ -171,11 +171,16 @@ def extract_video_folder(input_dir: str, output_dir: str,
 
 def extract_audio_folder(input_dir: str, output_dir: str,
                          cfg: Optional[Wav2Vec2Config] = None,
-                         batch_size: int = 8,
+                         batch_size: int = 64,
                          verbose: bool = True) -> int:
     """Audio twin of :func:`extract_video_folder` (reference
     voice_extractor.py:53-146): decode → 16 kHz mono → Wav2Vec2 embed →
-    L2-normalized (1024,) float16 npy with dataset-specific renaming."""
+    L2-normalized (1024,) float16 npy with dataset-specific renaming.
+
+    Default batch is 64 (not the reference's BATCH_SIZE=8,
+    voice_extractor.py:18): embeddings are batch-size-invariant here
+    (length-masked pooling) and measured device throughput keeps rising
+    through B=64 (390 → 505 clips/s from 16 → 64 on a v5e-1)."""
     from mmer_tpu.models.wav2vec2 import AudioEmbedder
     from mmer_tpu.preprocess.audio import (audio_output_name,
                                            iter_audio_files, load_waveform)
