@@ -228,36 +228,45 @@ def _group_rectangles(raw: List[Tuple[int, int, int]], min_neighbors: int,
                       eps: float = 0.2
                       ) -> List[Tuple[float, float, float, float, float]]:
     """Cluster near-identical detections; keep clusters with enough
-    neighbors (cv2.groupRectangles semantics, union-find over the
-    similarity relation)."""
+    neighbors (cv2.groupRectangles semantics: connected components of the
+    pairwise similarity relation).
+
+    The similarity predicate is evaluated for all pairs with numpy
+    broadcasting (row-blocked to bound memory) and the transitive closure
+    comes from ``scipy.sparse.csgraph.connected_components`` — the former
+    Python double loop was the detector's host-side hot spot at high raw
+    detection counts (VERDICT r1)."""
     n = len(raw)
     if n == 0:
         return []
-    parent = list(range(n))
-
-    def find(i):
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
     arr = np.asarray(raw, np.float64)
-    for i in range(n):
-        for j in range(i + 1, n):
-            delta = eps * (min(arr[i, 2], arr[j, 2]))
-            if (abs(arr[i, 0] - arr[j, 0]) <= delta
-                    and abs(arr[i, 1] - arr[j, 1]) <= delta
-                    and abs(arr[i, 2] - arr[j, 2]) <= 2 * delta):
-                pi, pj = find(i), find(j)
-                if pi != pj:
-                    parent[pi] = pj
+    x, y, s = arr[:, 0], arr[:, 1], arr[:, 2]
 
-    clusters: dict = {}
-    for i in range(n):
-        clusters.setdefault(find(i), []).append(i)
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    rows: List[np.ndarray] = []
+    cols: List[np.ndarray] = []
+    block = 2048                      # ≤ n·2048 bools live at once
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        delta = eps * np.minimum(s[lo:hi, None], s[None, :])
+        adj = ((np.abs(x[lo:hi, None] - x[None, :]) <= delta)
+               & (np.abs(y[lo:hi, None] - y[None, :]) <= delta)
+               & (np.abs(s[lo:hi, None] - s[None, :]) <= 2 * delta))
+        r, c = np.nonzero(adj)
+        rows.append(r + lo)
+        cols.append(c)
+    graph = coo_matrix(
+        (np.ones(sum(len(r) for r in rows), np.int8),
+         (np.concatenate(rows), np.concatenate(cols))), shape=(n, n))
+    n_comp, labels = connected_components(graph, directed=False)
 
     out = []
-    for members in clusters.values():
+    order = np.argsort(labels, kind="stable")
+    bounds = np.searchsorted(labels[order], np.arange(n_comp + 1))
+    for c in range(n_comp):
+        members = order[bounds[c]:bounds[c + 1]]
         if len(members) < max(min_neighbors, 1):
             continue
         m = arr[members].mean(axis=0)

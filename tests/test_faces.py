@@ -169,3 +169,64 @@ def test_scorer_gt_parsing_and_iou(tmp_path):
     assert iou(a, a) == pytest.approx(1.0)
     assert iou(a, np.asarray([20, 20, 30, 30], float)) == 0.0
     assert iou(a, np.asarray([5, 0, 15, 10], float)) == pytest.approx(1 / 3)
+
+
+def _group_rectangles_reference(raw, min_neighbors, eps=0.2):
+    """The original O(n^2) union-find implementation, kept as the
+    semantics oracle for the vectorized _group_rectangles."""
+    n = len(raw)
+    if n == 0:
+        return []
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    arr = np.asarray(raw, np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            delta = eps * (min(arr[i, 2], arr[j, 2]))
+            if (abs(arr[i, 0] - arr[j, 0]) <= delta
+                    and abs(arr[i, 1] - arr[j, 1]) <= delta
+                    and abs(arr[i, 2] - arr[j, 2]) <= 2 * delta):
+                pi, pj = find(i), find(j)
+                if pi != pj:
+                    parent[pi] = pj
+    clusters = {}
+    for i in range(n):
+        clusters.setdefault(find(i), []).append(i)
+    out = []
+    for members in clusters.values():
+        if len(members) < max(min_neighbors, 1):
+            continue
+        m = arr[members].mean(axis=0)
+        conf = 1.0 - 1.0 / (1.0 + len(members))
+        out.append((float(m[0]), float(m[1]),
+                    float(m[0] + m[2]), float(m[1] + m[2]), conf))
+    out.sort(key=lambda r: -r[4])
+    return out
+
+
+def test_group_rectangles_matches_union_find_oracle():
+    from mmer_tpu.preprocess.cascade import _group_rectangles
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(0, 300))
+        # clustered raw detections: a few centers + jitter, mixed sizes
+        centers = rng.uniform(0, 400, size=(max(n // 8, 1), 3))
+        centers[:, 2] = rng.uniform(40, 120, size=len(centers))
+        idx = rng.integers(0, len(centers), size=n)
+        raw = centers[idx] + rng.normal(0, 6, size=(n, 3))
+        raw = [tuple(map(int, r)) for r in raw]
+        for min_neighbors in (1, 3):
+            got = _group_rectangles(raw, min_neighbors)
+            want = _group_rectangles_reference(raw, min_neighbors)
+            assert len(got) == len(want), (trial, min_neighbors)
+            key = lambda r: (round(r[0], 6), round(r[1], 6),
+                             round(r[2], 6), round(r[3], 6), round(r[4], 9))
+            np.testing.assert_allclose(sorted(map(key, got)),
+                                       sorted(map(key, want)), atol=1e-9)
