@@ -7,6 +7,18 @@ import { useCallback, useMemo, useState } from "react";
 import AudioWaveform from "./components/AudioWaveform";
 import FeatureImportanceChart from "./components/FeatureImportanceChart";
 import VideoPlayer from "./components/VideoPlayer";
+import {
+  Button,
+  Card,
+  CardContent,
+  CardHeader,
+  CardTitle,
+  Dialog,
+  Input,
+  Label,
+  LoaderIcon,
+  Select,
+} from "./components/ui";
 import { checkHealth, inferVideo, isFlv, remuxFlv } from "./lib/api";
 import type { InferResponse } from "./types";
 import { EMOTION_COLORS } from "./types";
@@ -21,6 +33,8 @@ export default function App() {
   const [result, setResult] = useState<InferResponse | null>(null);
   const [time, setTime] = useState(0);
   const [duration, setDuration] = useState(0);
+  const [windowSize, setWindowSize] = useState(5);
+  const [detectEvery, setDetectEvery] = useState(1);
 
   const onPick = useCallback(async (f: File | null) => {
     setFile(f);
@@ -50,13 +64,15 @@ export default function App() {
       if (!(await checkHealth())) {
         throw new Error("backend is not reachable (/health failed)");
       }
-      setResult(await inferVideo(file, { explain: true }));
+      setResult(
+        await inferVideo(file, { explain: true, windowSize, detectEvery }),
+      );
     } catch (e) {
       setError(e instanceof Error ? e.message : String(e));
     } finally {
       setBusy(false);
     }
-  }, [file]);
+  }, [file, windowSize, detectEvery]);
 
   // Forward-fill: each window's class holds until the next window's start
   // frame (reference App.tsx:87-109).
@@ -92,23 +108,50 @@ export default function App() {
       </p>
 
       <section className="controls">
-        <input
+        <Input
           type="file"
           accept="video/*,.flv"
           onChange={(e) => void onPick(e.target.files?.[0] ?? null)}
         />
-        <button disabled={!file || busy} onClick={() => void analyze()}>
+        <Label htmlFor="window-size">Window</Label>
+        <Select
+          id="window-size"
+          value={String(windowSize)}
+          onChange={(e) => setWindowSize(Number(e.target.value))}
+          options={[1, 2, 3, 4, 5].map((n) => ({
+            value: String(n),
+            label: `${n} subchunk${n > 1 ? "s" : ""}`,
+          }))}
+        />
+        <Label htmlFor="detect-every">Detect</Label>
+        <Select
+          id="detect-every"
+          value={String(detectEvery)}
+          onChange={(e) => setDetectEvery(Number(e.target.value))}
+          options={[1, 2, 3, 5].map((n) => ({
+            value: String(n),
+            label: n === 1 ? "every frame" : `every ${n} frames`,
+          }))}
+        />
+        <Button disabled={!file || busy} onClick={() => void analyze()}>
+          {busy && <LoaderIcon className="spin" />}
           {busy ? "Analyzing…" : "Analyze"}
-        </button>
+        </Button>
       </section>
 
       {flvNotice && (
         <p className="notice">
-          FLV container: inference runs server-side as usual, but this
-          browser may not preview the raw file.
+          FLV container with codecs the backend cannot remux for preview:
+          inference still runs server-side as usual.
         </p>
       )}
-      {error && <p className="error">{error}</p>}
+      <Dialog
+        open={!!error}
+        onClose={() => setError("")}
+        title="Inference failed"
+      >
+        <p className="error">{error}</p>
+      </Dialog>
 
       {videoUrl && (
         <VideoPlayer
@@ -134,33 +177,41 @@ export default function App() {
 
       {result && (
         <>
-          <section className="results">
-            <h3>Windows</h3>
-            <div className="chips">
-              {result.inference.map((item, i) => (
-                <button
-                  key={i}
-                  className="chip"
-                  style={{ borderColor: EMOTION_COLORS[item.class] }}
-                  onClick={() => setTime(item.frame / fps)}
-                  title={`seek to frame ${item.frame}`}
-                >
-                  <span
-                    className="dot"
-                    style={{ background: EMOTION_COLORS[item.class] }}
-                  />
-                  {item.class} @ {item.frame}
-                </button>
-              ))}
-            </div>
-          </section>
-          <section>
-            <h3>Feature importance (Integrated Gradients)</h3>
-            <FeatureImportanceChart
-              inference={result.inference}
-              currentFrame={currentFrame}
-            />
-          </section>
+          <Card className="results">
+            <CardHeader>
+              <CardTitle>Windows</CardTitle>
+            </CardHeader>
+            <CardContent>
+              <div className="chips">
+                {result.inference.map((item, i) => (
+                  <button
+                    key={i}
+                    className="chip"
+                    style={{ borderColor: EMOTION_COLORS[item.class] }}
+                    onClick={() => setTime(item.frame / fps)}
+                    title={`seek to frame ${item.frame}`}
+                  >
+                    <span
+                      className="dot"
+                      style={{ background: EMOTION_COLORS[item.class] }}
+                    />
+                    {item.class} @ {item.frame}
+                  </button>
+                ))}
+              </div>
+            </CardContent>
+          </Card>
+          <Card>
+            <CardHeader>
+              <CardTitle>Feature importance (Integrated Gradients)</CardTitle>
+            </CardHeader>
+            <CardContent>
+              <FeatureImportanceChart
+                inference={result.inference}
+                currentFrame={currentFrame}
+              />
+            </CardContent>
+          </Card>
         </>
       )}
     </main>

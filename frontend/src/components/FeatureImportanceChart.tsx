@@ -4,6 +4,7 @@
 
 import { useMemo } from "react";
 import type { InferenceItem } from "../types";
+import { HBarList } from "./ui";
 
 interface Props {
   inference: InferenceItem[];
@@ -11,41 +12,8 @@ interface Props {
   topK?: number;
 }
 
-function Bars({
-  entries,
-  color,
-  title,
-}: {
-  entries: { dimension: number; importance: number }[];
-  color: string;
-  title: string;
-}) {
-  const max = Math.max(...entries.map((e) => Math.abs(e.importance)), 1e-9);
-  return (
-    <div className="fi-block">
-      <h4>{title}</h4>
-      <svg viewBox={`0 0 220 ${entries.length * 18}`} width="100%">
-        {entries.map((e, i) => (
-          <g key={e.dimension} transform={`translate(0, ${i * 18})`}>
-            <text x="0" y="12" fontSize="10" fill="#aab">
-              d{e.dimension}
-            </text>
-            <rect
-              x="40"
-              y="4"
-              height="10"
-              width={(Math.abs(e.importance) / max) * 140}
-              fill={color}
-              opacity={e.importance >= 0 ? 1 : 0.45}
-            />
-            <text x="185" y="12" fontSize="9" fill="#889">
-              {e.importance.toExponential(1)}
-            </text>
-          </g>
-        ))}
-      </svg>
-    </div>
-  );
+function toEntries(rows: { dimension: number; importance: number }[]) {
+  return rows.map((e) => ({ label: `d${e.dimension}`, value: e.importance }));
 }
 
 export default function FeatureImportanceChart({
@@ -69,14 +37,14 @@ export default function FeatureImportanceChart({
   }
   return (
     <div className="fi-grid">
-      <Bars
+      <HBarList
         title={`Video features — window @ frame ${active.frame}`}
-        entries={active.feature_importance.video.slice(0, topK)}
+        entries={toEntries(active.feature_importance.video.slice(0, topK))}
         color="#49c5e9"
       />
-      <Bars
+      <HBarList
         title={`Audio features — predicted ${active.class}`}
-        entries={active.feature_importance.audio.slice(0, topK)}
+        entries={toEntries(active.feature_importance.audio.slice(0, topK))}
         color="#e9b949"
       />
     </div>

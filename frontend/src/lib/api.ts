@@ -22,6 +22,8 @@ export interface InferOptions {
   subchunkSize?: number;
   windowSize?: number;
   explain?: boolean;
+  /** run the face detector every Nth frame, carrying boxes forward */
+  detectEvery?: number;
 }
 
 export async function inferVideo(
@@ -32,6 +34,7 @@ export async function inferVideo(
     subchunk_size: String(opts.subchunkSize ?? 32),
     window_size: String(opts.windowSize ?? 5),
     explain: String(opts.explain ?? true),
+    detect_every: String(opts.detectEvery ?? 1),
   });
   const form = new FormData();
   form.append("file", file);
