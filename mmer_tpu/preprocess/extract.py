@@ -91,22 +91,61 @@ class VideoFeatureExtractor:
             self.device_batch = device_batch
             self._apply = jax.jit(_embed)
 
-    def embed_chunks(self, chunks: np.ndarray) -> np.ndarray:
+    def embed_chunks(self, chunks) -> np.ndarray:
         """(N, F, H, W, C) float32 in [0,1] or raw uint8 → (N, 768); pads N
         to the device batch size so every call hits the same compiled
-        program."""
+        program.  Accepts a device-resident jnp array (padding then happens
+        on device — no host round-trip)."""
         jnp = self._jnp
+        xp = jnp if isinstance(chunks, jnp.ndarray) else np
         n = chunks.shape[0]
         bs = self.device_batch
         out: List[np.ndarray] = []
         for start in range(0, n, bs):
             block = chunks[start:start + bs]
             if block.shape[0] < bs:
-                pad = np.repeat(block[-1:], bs - block.shape[0], axis=0)
-                block = np.concatenate([block, pad], axis=0)
+                pad = xp.repeat(block[-1:], bs - block.shape[0], axis=0)
+                block = xp.concatenate([block, pad], axis=0)
             feats = self._apply(self.params, jnp.asarray(block))
             out.append(np.asarray(feats))
         return np.concatenate(out)[:n]
+
+    def embed_cropped_frames(self, frames_u8: np.ndarray, bboxes: np.ndarray,
+                             subchunk_size: int) -> np.ndarray:
+        """Serving hot path: raw uint8 frames (N, H, W, C) + per-frame
+        bboxes (N, 4) → (ceil(N/sub), 768) subchunk features.
+
+        Crop/resize, subchunk packing (repeat-last-frame padding — the
+        reference's create_subchunks semantics, inference.py:104-144) and
+        the ViViT forward all happen ON DEVICE: only the uint8 frames go
+        up and only the feature rows come back.  The previous split path
+        shipped the f32 crops down and re-shipped uint8 chunks up —
+        ~70 MB/request through this image's ~27 MB/s tunnel, and on real
+        hardware still 2 needless PCIe trips.
+
+        N is bucketed up to a multiple of ``subchunk_size`` on the host
+        (repeating the last frame/bbox) so the small crop graph compiles
+        per 32-frame bucket, not per exact frame count; the ViViT program
+        itself always runs at the fixed (device_batch, …) uint8 shape.
+        """
+        jnp = self._jnp
+        n = frames_u8.shape[0]
+        sub = subchunk_size
+        n_pad = -(-n // sub) * sub
+        if n_pad > n:
+            frames_u8 = np.concatenate(
+                [frames_u8, np.repeat(frames_u8[-1:], n_pad - n, axis=0)])
+            bboxes = np.concatenate(
+                [bboxes, np.repeat(bboxes[-1:], n_pad - n, axis=0)])
+        from mmer_tpu.ops.image import crop_resize_batch
+        crops = crop_resize_batch(jnp.asarray(frames_u8),
+                                  jnp.asarray(bboxes, jnp.float32),
+                                  out_hw=tuple(self.cfg.image_size))
+        # Truncating uint8 quantization — bit-matches the old host path
+        # ((crops/255*255).astype(uint8)); _embed re-normalizes on device.
+        chunks = jnp.clip(crops, 0, 255).astype(jnp.uint8).reshape(
+            n_pad // sub, sub, *self.cfg.image_size, frames_u8.shape[-1])
+        return self.embed_chunks(chunks)
 
 
 def extract_video_folder(input_dir: str, output_dir: str,

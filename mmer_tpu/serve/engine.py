@@ -164,10 +164,8 @@ class InferenceEngine:
         """
         import cv2
 
-        from mmer_tpu.ops.image import crop_resize_batch
         from mmer_tpu.preprocess.audio import extract_audio_track
         from mmer_tpu.preprocess.faces import group_face_sequences
-        from mmer_tpu.preprocess.video import frames_to_chunks
 
         max_tokens = self.model_cfg.max_seq_len - 1
         if window_size > max_tokens:
@@ -218,21 +216,16 @@ class InferenceEngine:
                                        self.wav_cfg.sample_rate)
 
         inference: List[Dict] = []
-        size = tuple(self.vivit_cfg.image_size)
 
         for seq in sequences:
-            # 2) device-side crop+resize of the sequence's frames ---------
-            seq_frames = np.stack([frames[f] for f in seq.frames]
-                                  ).astype(np.float32)
+            # 2+3) crop+resize → subchunks → ViViT, fused ON DEVICE: only
+            # the raw uint8 frames go up, only (n_sub, 768) comes back
+            # (embed_cropped_frames; the crops never visit the host).
+            seq_frames = np.stack([frames[f] for f in seq.frames])
             bboxes = np.asarray(seq.bboxes, np.float32)
-            crops = np.asarray(crop_resize_batch(seq_frames, bboxes,
-                                                 out_hw=size)) / 255.0
-
-            # 3) subchunks + ONE batched ViViT pass ----------------------
-            chunks = frames_to_chunks((crops * 255).astype(np.uint8),
-                                      subchunk_size, dtype="uint8")
-            n_sub = chunks.shape[0]
-            sub_feats = self.video_extractor.embed_chunks(chunks)  # (n,768)
+            sub_feats = self.video_extractor.embed_cropped_frames(
+                seq_frames, bboxes, subchunk_size)             # (n, 768)
+            n_sub = sub_feats.shape[0]
 
             # 4) per-window audio slices, embedded in one batch ----------
             win_lens = [min(window_size, n_sub - s) for s in range(n_sub)]
@@ -306,8 +299,11 @@ class InferenceEngine:
 
         max_tokens = self.model_cfg.max_seq_len - 1
         window_size = min(window_size, max_tokens)
+        # uint8, matching the live request path (embed_cropped_frames /
+        # frames_to_chunks both produce uint8 chunks): warming float32
+        # here would compile a graph the first real upload never hits.
         chunks = np.zeros((1, subchunk_size, *self.vivit_cfg.image_size, 3),
-                          np.float32)
+                          np.uint8)
         sub_feats = self.video_extractor.embed_chunks(chunks)
         self.audio_embedder.embed_batch(
             [np.zeros(self.wav_cfg.sample_rate, np.float32)])

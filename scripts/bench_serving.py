@@ -1,0 +1,125 @@
+"""Serving latency benchmark: p50/p95 request latency, cold vs warm start.
+
+Measures what the reference's serving hot path costs per request
+(reference back-end/app/libs/inference.py:393-520) on the TPU build, at
+full production model sizes (ViViT-768/12, Wav2Vec2-large, fusion):
+
+  1. cold first request        — no warmup(), compile on first upload
+  2. warmup() wall time        — pre-compiles ViViT/W2V2/fusion/IG graphs
+  3. warm request latencies    — N repeats over distinct uploads
+     (explain=false and explain=true), reported p50/p95
+
+Run me twice to see the persistent-compile-cache effect: the FIRST run on
+a machine pays real XLA compiles; later runs load them from
+~/.cache/mmer_tpu/jax_cache.
+
+Uploads are synthesized here (grace-hopper face video via cv2) so the
+bench is self-contained; per-request inputs get per-request pixel jitter
+so repeated device calls are never identical (tunnel dedup trap,
+CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_face_video(path: str, frames: int, seed: int, size=(256, 300),
+                    fps: float = 30.0) -> None:
+    import cv2
+    from matplotlib import cbook
+    from PIL import Image
+
+    img = np.asarray(Image.open(
+        cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)))
+    img = cv2.resize(img, size)
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
+    if not w.isOpened():
+        raise RuntimeError("no mp4 encoder in this cv2 build")
+    rng = np.random.default_rng(seed)
+    for _ in range(frames):
+        jitter = img.astype(np.int16) + rng.integers(-8, 8, img.shape)
+        w.write(np.clip(jitter, 0, 255).astype(np.uint8)[:, :, ::-1])
+    w.release()
+
+
+def pctl(xs, p):
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--requests", type=int, default=12)
+    ap.add_argument("--frames", type=int, default=96,
+                    help="frames per upload (96 = 3 subchunks @ 32)")
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip warmup() and measure the cold first request")
+    ap.add_argument("--detect_every", type=int, default=3)
+    args = ap.parse_args()
+
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from mmer_tpu.serve.engine import InferenceEngine
+
+    engine = InferenceEngine()
+
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    uploads = []
+    for i in range(args.requests + 1):
+        p = os.path.join(tmp, f"u{i}.mp4")
+        make_face_video(p, args.frames, seed=i)
+        uploads.append(open(p, "rb").read())
+
+    log = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+    if not args.no_warmup:
+        t0 = time.time()
+        engine.warmup()
+        log(f"warmup: {time.time() - t0:.1f}s")
+
+    # first request (cold if --no_warmup, else already-compiled)
+    t0 = time.time()
+    r = engine.infer_file_bytes(uploads[0], "u0.mp4", explain=True,
+                                detect_every=args.detect_every)
+    first = time.time() - t0
+    assert r["inference"], "no inference items on the face video"
+    log(f"first request (explain=true): {first:.2f}s "
+        f"[{'COLD' if args.no_warmup else 'warmed'}]")
+
+    results = {}
+    for explain in (False, True):
+        lats = []
+        for i in range(1, args.requests + 1):
+            t0 = time.time()
+            engine.infer_file_bytes(uploads[i], f"u{i}.mp4",
+                                    explain=explain,
+                                    detect_every=args.detect_every)
+            lats.append(time.time() - t0)
+        results[explain] = lats
+        log(f"explain={explain}: p50={pctl(lats, 50)*1e3:.0f}ms "
+            f"p95={pctl(lats, 95)*1e3:.0f}ms "
+            f"(n={len(lats)}, {args.frames} frames/upload)")
+
+    import json
+    print(json.dumps({
+        "first_request_s": round(first, 2),
+        "warmed": not args.no_warmup,
+        "frames_per_upload": args.frames,
+        "detect_every": args.detect_every,
+        "p50_ms": round(pctl(results[False], 50) * 1e3, 1),
+        "p95_ms": round(pctl(results[False], 95) * 1e3, 1),
+        "explain_p50_ms": round(pctl(results[True], 50) * 1e3, 1),
+        "explain_p95_ms": round(pctl(results[True], 95) * 1e3, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

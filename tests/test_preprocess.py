@@ -84,6 +84,37 @@ def test_extract_video_folder_end_to_end(synthetic_video_dir, tmp_path):
     np.testing.assert_allclose(b, solo, atol=1e-4)
 
 
+def test_embed_cropped_frames_matches_split_path():
+    """The fused on-device serve path (crop→chunk→embed without host
+    round-trips) must reproduce the former split pipeline: host crop,
+    uint8 quantize, frames_to_chunks, embed_chunks."""
+    from mmer_tpu.ops.image import crop_resize_batch
+    from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+    from mmer_tpu.preprocess.video import frames_to_chunks
+
+    tiny = ViViTConfig(image_size=(32, 32), patch_size=(16, 16), num_frames=8,
+                       tubelet_size=4, dim=64, depth=1, heads=2, dim_head=32,
+                       mlp_dim=64, compute_dtype="float32")
+    extractor = VideoFeatureExtractor(tiny, device_batch=2, use_flash=False)
+    rng = np.random.default_rng(5)
+    n, sub = 11, 4                      # pads 11 → 12 frames, 3 subchunks
+    frames = (rng.random((n, 40, 52, 3)) * 255).astype(np.uint8)
+    bboxes = np.stack([
+        np.asarray([4 + i % 3, 2, 36 + i % 3, 38], np.float32)
+        for i in range(n)])
+
+    fused = extractor.embed_cropped_frames(frames, bboxes, sub)
+
+    crops = np.asarray(crop_resize_batch(
+        frames.astype(np.float32), bboxes, out_hw=(32, 32)))
+    chunks = frames_to_chunks(np.clip(crops, 0, 255).astype(np.uint8), sub,
+                              dtype="uint8")
+    split = extractor.embed_chunks(chunks)
+
+    assert fused.shape == (3, 64)
+    np.testing.assert_allclose(fused, split, atol=1e-4)
+
+
 def test_feature_output_name_matches_reference_contract():
     # video_extractor.py:173-174: path separators and dots → underscores.
     assert feature_output_name("/data/x/clip.flv", "/data") == \
