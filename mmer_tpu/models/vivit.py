@@ -116,10 +116,19 @@ class PreNormBlock(nn.Module):
 
 
 class ViViTFeatureExtractor(nn.Module):
-    """Batched chunk embedder: (B, 32, 224, 224, 3) → (B, 768)."""
+    """Batched chunk embedder: (B, 32, 224, 224, 3) → (B, 768).
+
+    ``remat`` re-checkpoints each block for a differentiated path.  The
+    framework itself never differentiates ViViT — it is a fixed random
+    projection (training consumes precomputed features; IG attributes the
+    fusion model's *inputs*, not ViViT internals) — so the default is
+    off: under forward-only jit, remat only adds optimization barriers
+    (XLA already frees forward intermediates as it schedules).
+    """
 
     cfg: ViViTConfig
     use_flash: bool = True
+    remat: bool = False
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
@@ -148,10 +157,8 @@ class ViViTFeatureExtractor(nn.Module):
                          (1, max_tokens, d), jnp.float32)
         x = x + pos[:, :n, :].astype(x.dtype)
 
-        # Remat per block: activations for S=1569 × depth 12 would otherwise
-        # dominate HBM when batching many chunks.
-        block = nn.remat(PreNormBlock) if not self.is_initializing() \
-            else PreNormBlock
+        block = nn.remat(PreNormBlock) \
+            if self.remat and not self.is_initializing() else PreNormBlock
         for i in range(cfg.depth):
             x = block(cfg, use_flash=self.use_flash, name=f"block_{i}")(x)
 
