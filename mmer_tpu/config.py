@@ -91,6 +91,10 @@ class TrainConfig:
     focal_gamma: float = 2.0
     # Opt-in improvement beyond the reference (0.0 = exact reference loss).
     label_smoothing: float = 0.0
+    # Opt-in: evaluate/select on an exponential moving average of the
+    # params (per-step decay; 0.0 = off = exact reference behavior).
+    # Fused trainer only.
+    ema_decay: float = 0.0
     # Best-model selection: "val_loss" (v2, train2.py:617-620) or
     # "val_acc" (v1, train.py:334-338).
     best_metric: str = "val_loss"

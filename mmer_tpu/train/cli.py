@@ -57,6 +57,9 @@ def main(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="run the ENTIRE training loop on device as one "
                         "lax.while_loop call (no per-epoch host sync)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="evaluate/select on a per-step EMA of the params "
+                        "(0 = off, reference behavior; requires --fused)")
     args = p.parse_args(argv)
 
     data_cfg = DataConfig(
@@ -79,6 +82,7 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         weight_decay=args.weight_decay,
         label_smoothing=args.label_smoothing,
+        ema_decay=args.ema_decay,
         best_metric=args.best_metric)
 
     from mmer_tpu.utils.profiling import trace

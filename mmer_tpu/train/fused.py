@@ -52,6 +52,7 @@ class FusedCarry(NamedTuple):
     prev_val_loss: jax.Array    # early-stopping state
     no_improve: jax.Array
     metrics: Dict[str, jax.Array]   # preallocated (E, ...) buffers
+    ema_params: Any = None      # per-step EMA (train_cfg.ema_decay > 0)
 
 
 def build_fused_train(model: MultimodalEmotionModel,
@@ -75,6 +76,12 @@ def build_fused_train(model: MultimodalEmotionModel,
     num_classes = model_cfg.num_classes
     num_epochs = train_cfg.num_epochs
     shard_batches = mesh is not None and mesh.size > 1
+    # Opt-in EMA: eval/selection run on a per-step exponential moving
+    # average of the params (classic cheap generalization win; the raw
+    # trajectory — carry.params/opt_state — is untouched, so resume and
+    # reference-recipe runs are bit-identical with ema_decay=0).
+    ema_decay = train_cfg.ema_decay
+    use_ema = ema_decay > 0.0
 
     def gather(arr, idx):
         out = jnp.take(arr, idx, axis=0)
@@ -83,14 +90,15 @@ def build_fused_train(model: MultimodalEmotionModel,
                 out, batch_spec(mesh, out.ndim))
         return out
 
-    def train_epoch(params, opt_state, rng, data, train_idx, class_weights):
+    def train_epoch(params, opt_state, ema, rng, data, train_idx,
+                    class_weights):
         n = train_idx.shape[0]
         rng, shuffle_key, epoch_key = jax.random.split(rng, 3)
         perm = jax.random.permutation(shuffle_key, n)
         batches = _pad_batches(jnp.take(train_idx, perm, axis=0), batch_size)
 
         def step_fn(carry, xs):
-            params, opt_state = carry
+            params, opt_state, ema = carry
             idx, step_i = xs
             sw = (idx >= 0).astype(jnp.float32)
             safe = jnp.maximum(idx, 0)
@@ -109,12 +117,16 @@ def build_fused_train(model: MultimodalEmotionModel,
             loss, grads = jax.value_and_grad(loss_of)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            if use_ema:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema, params)
+            return (params, opt_state, ema), loss
 
-        (params, opt_state), losses = jax.lax.scan(
-            step_fn, (params, opt_state),
+        (params, opt_state, ema), losses = jax.lax.scan(
+            step_fn, (params, opt_state, ema),
             (batches, jnp.arange(batches.shape[0])))
-        return params, opt_state, rng, jnp.mean(losses)
+        return params, opt_state, ema, rng, jnp.mean(losses)
 
     def evaluate(params, data, idx, class_weights):
         batches = _pad_batches(idx, eval_batch)
@@ -160,16 +172,23 @@ def build_fused_train(model: MultimodalEmotionModel,
             sched_bad=jnp.zeros((), jnp.int32),
             prev_val_loss=jnp.asarray(jnp.inf),
             no_improve=jnp.zeros((), jnp.int32),
-            metrics=metrics)
+            metrics=metrics,
+            ema_params=(jax.tree_util.tree_map(jnp.copy, params)
+                        if use_ema else None))
 
         def cond(c: FusedCarry):
             return (c.epoch < num_epochs) & ~c.done
 
         def body(c: FusedCarry) -> FusedCarry:
-            params, opt_state, rng, train_loss = train_epoch(
-                c.params, c.opt_state, c.rng, data, train_idx, class_weights)
-            val_loss, val_cm = evaluate(params, data, val_idx, class_weights)
-            test_loss, test_cm = evaluate(params, data, test_idx,
+            params, opt_state, ema, rng, train_loss = train_epoch(
+                c.params, c.opt_state, c.ema_params, c.rng, data, train_idx,
+                class_weights)
+            # With EMA on, evaluation, scheduler/early-stop signals and
+            # best-model selection all see the averaged weights.
+            eval_params = ema if use_ema else params
+            val_loss, val_cm = evaluate(eval_params, data, val_idx,
+                                        class_weights)
+            test_loss, test_cm = evaluate(eval_params, data, test_idx,
                                           class_weights)
             del test_loss
 
@@ -197,7 +216,7 @@ def build_fused_train(model: MultimodalEmotionModel,
             is_best = score < c.best_score
             best_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(is_best, new, old),
-                params, c.best_params)
+                eval_params, c.best_params)
             best_score = jnp.where(is_best, score, c.best_score)
             best_epoch = jnp.where(is_best, c.epoch + 1, c.best_epoch)
 
@@ -222,7 +241,7 @@ def build_fused_train(model: MultimodalEmotionModel,
                 best_score=best_score, best_epoch=best_epoch,
                 sched_best=sched_best, sched_bad=sched_bad,
                 prev_val_loss=val_loss, no_improve=no_improve,
-                metrics=metrics)
+                metrics=metrics, ema_params=ema)
 
         final = jax.lax.while_loop(cond, body, carry)
         return final

@@ -394,6 +394,7 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
     hyperparameters = _build_hyperparameters(
         model_cfg, train_cfg, batch_size,
         fused_run=True, train_wall_seconds=elapsed,
+        ema_decay=train_cfg.ema_decay,
         mesh=dict(zip(mesh.axis_names, mesh.devices.shape)))
 
     confusion = None
@@ -459,6 +460,9 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         return _train_model_fused(data, splits, model_cfg, train_cfg,
                                   batch_size, mesh_cfg=mesh_cfg, seed=seed,
                                   verbose=verbose)
+    if train_cfg.ema_decay > 0.0:
+        raise ValueError("ema_decay is implemented in the fused trainer "
+                         "only — pass fused=True / --fused")
     mesh = create_mesh(mesh_cfg)
     model = MultimodalEmotionModel(model_cfg)
     optimizer = make_optimizer(train_cfg)
