@@ -189,6 +189,15 @@ class HaarCascade:
         batched cumsums and every cascade stage evaluates all frames'
         windows in one vectorized pass — the per-frame Python overhead of
         calling :meth:`detect` in a loop disappears.
+
+        Measured caveat (kept as API, not the serving default): on this
+        class of host the batched path is ~3× SLOWER per frame at 24
+        frames — the stage gathers random-access an (F, H+1, W+1) f64
+        integral stack (~15 MB at 24×300²) instead of one cache-resident
+        frame, and memory locality beats the saved Python overhead.  The
+        serving engine therefore loops :meth:`detect` (with
+        ``detect_every`` sampling); use this for few-frame batches or
+        hosts with larger LLC.
         """
         import cv2
 
