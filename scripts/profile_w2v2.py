@@ -1,0 +1,148 @@
+"""Component-level Wav2Vec2-large profile on the real chip.
+
+Separates the three stages of the encoder at the extraction shape
+(B=64 × 3.2 s clips, padded to the 4 s bucket):
+  1. full model (conv encoder + projection + pos-conv + 24-layer
+     transformer + pooling)                         — the production path
+  2. conv feature encoder alone (7 temporal convs + per-frame LN + GELU)
+  3. transformer stack alone (fed precomputed frame features)
+Derives achieved TFLOP/s + MFU per stage (v5e bf16 peak 197 TFLOP/s) and
+prints where the gap to peak lives.
+
+Timing discipline per CLAUDE.md: distinct pre-staged device inputs,
+chained calls, one sync.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK = 197e12
+B = 64
+CLIP_S = 3.2
+
+
+def timed(fn, inputs, n_chain=4, reps=2):
+    outs = fn(*inputs[-1])
+    jax.block_until_ready(outs)
+    best = float("inf")
+    for r in range(reps):
+        chain = inputs[r * n_chain:(r + 1) * n_chain]
+        t0 = time.time()
+        outs = [fn(*args) for args in chain]
+        jax.block_until_ready(outs)
+        np.asarray(jax.tree_util.tree_leaves(outs[-1])[0].ravel()[:1])
+        best = min(best, (time.time() - t0) / n_chain)
+    return best
+
+
+def conv_flops(cfg, n_samples):
+    """MACs×2 of the 7-layer conv encoder for one clip of n_samples."""
+    fl, length, in_ch = 0, n_samples, 1
+    for dim, k, s in zip(cfg.conv_dims, cfg.conv_kernels, cfg.conv_strides):
+        length = (length - k) // s + 1
+        fl += 2 * length * dim * k * in_ch
+        in_ch = dim
+    return fl, length
+
+
+def transformer_flops(cfg, t):
+    d, f = cfg.hidden_dim, cfg.ffn_dim
+    per_layer = 2 * t * (4 * d * d + 2 * d * f) + 4 * t * t * d
+    pos_conv = 2 * t * d * (d // cfg.num_conv_pos_embedding_groups) \
+        * cfg.num_conv_pos_embeddings
+    return cfg.num_layers * per_layer + pos_conv + 2 * t * 512 * d
+
+
+def main():
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    from mmer_tpu.config import Wav2Vec2Config
+    from mmer_tpu.models.wav2vec2 import (AudioEmbedder, ConvFeatureEncoder,
+                                          Wav2Vec2Encoder,
+                                          feat_extract_output_length)
+
+    cfg = Wav2Vec2Config()
+    emb = AudioEmbedder(cfg)
+    rng = np.random.default_rng(0)
+    n = int(16000 * CLIP_S)
+    n_pad = emb._bucket_len(n)
+    t_out = feat_extract_output_length(cfg, n_pad)
+    frame_len = feat_extract_output_length(cfg, n)
+    print(f"backend={jax.default_backend()}  B={B}  "
+          f"samples={n_pad}  frames={t_out}")
+
+    mask = jax.device_put(
+        np.broadcast_to(np.arange(t_out) >= frame_len, (B, t_out)).copy())
+    waves = [jax.device_put(np.pad(
+        rng.normal(size=(B, n)).astype(np.float32),
+        ((0, 0), (0, n_pad - n)))) for _ in range(9)]
+    jax.block_until_ready(waves)
+
+    c_fl, _ = conv_flops(cfg, n_pad)
+    t_fl = transformer_flops(cfg, t_out)
+    full_fl = B * (c_fl + t_fl)
+
+    t = timed(lambda w: emb._apply_pool(emb.params, w, mask),
+              [(w,) for w in waves])
+    print(f"full model: {t*1e3:7.1f} ms  {B/t:6.1f} clips/s  "
+          f"{full_fl/t/1e12:5.1f} TF/s  MFU={full_fl/t/PEAK*100:4.1f}%")
+
+    conv = ConvFeatureEncoder(cfg)
+    conv_params = {"params": emb.params["params"]["feature_encoder"]}
+    conv_apply = jax.jit(conv.apply)
+    t = timed(lambda w: conv_apply(conv_params, w), [(w,) for w in waves])
+    fl = B * c_fl
+    print(f"conv encoder: {t*1e3:5.1f} ms  {fl/t/1e12:5.1f} TF/s  "
+          f"MFU={fl/t/PEAK*100:4.1f}%")
+
+    # transformer alone: run full model on ALREADY-ENCODED features by
+    # timing full minus conv is biased; instead feed the encoder from a
+    # stub conv via jitted closure over the post-conv tensor shape.
+    model = Wav2Vec2Encoder(cfg)
+
+    feats = [jax.device_put(
+        rng.normal(size=(B, t_out, cfg.conv_dims[-1])).astype(np.float32))
+        for _ in range(9)]
+    jax.block_until_ready(feats)
+
+    def trans_only(p, f):
+        import flax.linen as nn
+
+        from mmer_tpu.models.wav2vec2 import EncoderLayer, PosConvEmbed
+
+        class Rest(nn.Module):
+            cfg2 = cfg
+
+            @nn.compact
+            def __call__(self, x):
+                x = nn.LayerNorm(dtype=jnp.float32, name="proj_norm")(x)
+                x = nn.Dense(cfg.hidden_dim, dtype=jnp.bfloat16,
+                             param_dtype=jnp.float32, name="proj")(x)
+                x = x.astype(jnp.float32)
+                x = x + PosConvEmbed(cfg, name="pos_conv")(x).astype(x.dtype)
+                for i in range(cfg.num_layers):
+                    x = EncoderLayer(cfg, name=f"layer_{i}")(x, None)
+                return nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
+
+        return Rest().apply(p, f)
+
+    rest_params = {"params": {k: v for k, v in emb.params["params"].items()
+                              if k != "feature_encoder"}}
+    rest_apply = jax.jit(trans_only)
+    t = timed(lambda f: rest_apply(rest_params, f), [(f,) for f in feats])
+    fl = B * t_fl
+    print(f"transformer+proj: {t*1e3:5.1f} ms  {fl/t/1e12:5.1f} TF/s  "
+          f"MFU={fl/t/PEAK*100:4.1f}%")
+
+
+if __name__ == "__main__":
+    main()
