@@ -183,12 +183,16 @@ def oversample_neutral(train_idx: np.ndarray, labels: np.ndarray,
     return out
 
 
-def load_dataset(cfg: DataConfig, max_chunks: Optional[int] = None,
-                 num_workers: int = 16) -> Tuple[DatasetArrays, DataSplits]:
-    """Full host pipeline: catalog → load → normalize → pad → split → weights."""
-    catalog = build_catalog(cfg.video_feat_dir, cfg.audio_feat_dir, cfg.pairing)
-    videos, audios = load_feature_arrays(catalog, num_workers=num_workers)
+def dataset_from_features(videos: List[np.ndarray], audios: np.ndarray,
+                          labels: np.ndarray, keys: List[str],
+                          cfg: DataConfig,
+                          max_chunks: Optional[int] = None
+                          ) -> Tuple[DatasetArrays, DataSplits]:
+    """Shared pipeline tail: normalize → pad → split → weights.
 
+    Used by :func:`load_dataset` (features from ``.npy`` artifacts) and by
+    ``preprocess.extract.extract_dataset_arrays`` (features freshly
+    embedded on device, never touching disk)."""
     if cfg.normalization == "global":
         videos, audios, stats = normalize_global(videos, audios)
     elif cfg.normalization == "per_sample":
@@ -197,11 +201,11 @@ def load_dataset(cfg: DataConfig, max_chunks: Optional[int] = None,
         raise ValueError(f"unknown normalization: {cfg.normalization}")
 
     video, pad_mask, lengths = pad_videos(videos, max_chunks)
-    labels = np.asarray([e.label for e in catalog], dtype=np.int32)
+    labels = np.asarray(labels, dtype=np.int32)
 
     data = DatasetArrays(
         video=video, audio=audios, pad_mask=pad_mask, labels=labels,
-        lengths=lengths, keys=[e.key for e in catalog],
+        lengths=lengths, keys=list(keys),
         max_chunks=int(lengths.max()),
         video_mean=stats.get("video_mean"), video_std=stats.get("video_std"),
         audio_mean=stats.get("audio_mean"), audio_std=stats.get("audio_std"),
@@ -215,3 +219,13 @@ def load_dataset(cfg: DataConfig, max_chunks: Optional[int] = None,
     splits = DataSplits(train=train_idx, val=val_idx, test=test_idx,
                         class_weights=weights)
     return data, splits
+
+
+def load_dataset(cfg: DataConfig, max_chunks: Optional[int] = None,
+                 num_workers: int = 16) -> Tuple[DatasetArrays, DataSplits]:
+    """Full host pipeline: catalog → load → normalize → pad → split → weights."""
+    catalog = build_catalog(cfg.video_feat_dir, cfg.audio_feat_dir, cfg.pairing)
+    videos, audios = load_feature_arrays(catalog, num_workers=num_workers)
+    labels = np.asarray([e.label for e in catalog], dtype=np.int32)
+    return dataset_from_features(videos, audios, labels,
+                                 [e.key for e in catalog], cfg, max_chunks)

@@ -258,6 +258,128 @@ def extract_audio_folder(input_dir: str, output_dir: str,
     return count
 
 
+def extract_dataset_arrays(video_dir: str, audio_dir: str,
+                           video_extractor: Optional[
+                               "VideoFeatureExtractor"] = None,
+                           audio_cfg: Optional[Wav2Vec2Config] = None,
+                           data_cfg=None,
+                           chunk_size: Optional[int] = None,
+                           audio_batch: int = 64,
+                           decode_workers: int = 4,
+                           max_chunks: Optional[int] = None,
+                           verbose: bool = True):
+    """Raw face-crop videos + audio tracks → HBM-ready ``(DatasetArrays,
+    DataSplits)`` with the features NEVER touching disk.
+
+    The BASELINE.json north star names this shape explicitly: "extraction
+    writes HBM-resident feature batches straight into the fusion
+    classifier".  The disk route (extract_*_folder → .npy → load_dataset)
+    remains for reference artifact parity; this path produces the *same*
+    arrays (test_pipeline.py asserts equality, including the audio f16
+    quantization the npy contract imposes, voice_extractor.py:95) minus
+    the ~17.8k-file round-trip.
+
+    Pairing, labels, normalization, split and class weights reuse the
+    exact key-pairing pipeline (data/catalog.py, data/pipeline.py).
+    """
+    from mmer_tpu.config import DataConfig
+    from mmer_tpu.data.catalog import label_from_name, sample_key
+    from mmer_tpu.data.pipeline import dataset_from_features
+    from mmer_tpu.models.wav2vec2 import AudioEmbedder
+    from mmer_tpu.preprocess.audio import (audio_output_name,
+                                           iter_audio_files, load_waveform)
+
+    data_cfg = data_cfg or DataConfig()
+    extractor = video_extractor or VideoFeatureExtractor()
+    chunk_size = chunk_size or extractor.cfg.num_frames
+    size = tuple(extractor.cfg.image_size)
+
+    # ---- video: pipelined decode → cross-video batched device embed ----
+    video_feats = {}
+    paths = list(iter_video_files(video_dir))
+    t0 = time.time()
+    with cf.ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        decoded = pool.map(
+            lambda p: (p, load_video_chunks(p, chunk_size, size,
+                                            dtype="uint8")), paths)
+        pending: List[Tuple[str, int]] = []
+        buffer: List[np.ndarray] = []
+
+        def flush():
+            if not pending:
+                return
+            feats = extractor.embed_chunks(np.concatenate(buffer, axis=0))
+            offset = 0
+            for path, n_chunks in pending:
+                key = sample_key(feature_output_name(path, video_dir))
+                video_feats[key] = feats[offset:offset + n_chunks]
+                offset += n_chunks
+            pending.clear()
+            buffer.clear()
+
+        budget = max(extractor.device_batch * 4, 32)
+        for path, chunks in decoded:
+            if chunks is None:
+                if verbose:
+                    print(f"Failed to load video: {path}", flush=True)
+                continue
+            pending.append((path, chunks.shape[0]))
+            buffer.append(chunks)
+            if sum(c.shape[0] for c in buffer) >= budget:
+                flush()
+        flush()
+
+    # ---- audio: batched device embed -----------------------------------
+    embedder = AudioEmbedder(audio_cfg or Wav2Vec2Config())
+    audio_feats = {}
+    batch: List[Tuple[str, np.ndarray]] = []
+
+    def aflush():
+        if not batch:
+            return
+        embs = embedder.embed_batch([w for _, w in batch])
+        for (p, _), emb in zip(batch, embs):
+            key = sample_key(audio_output_name(os.path.basename(p)))
+            # f16 round-trip: the npy contract stores float16
+            # (voice_extractor.py:95) — quantize identically so this path
+            # equals extract→save→load bit for bit.
+            audio_feats[key] = emb.astype(np.float16).astype(np.float32)
+        batch.clear()
+
+    for p in iter_audio_files(audio_dir):
+        wave = load_waveform(p, embedder.cfg.sample_rate)
+        if wave is None:
+            if verbose:
+                print(f"Failed to load audio: {p}", flush=True)
+            continue
+        batch.append((p, wave))
+        if len(batch) >= audio_batch:
+            aflush()
+    aflush()
+
+    # ---- pair by key, label, and hand off to the shared tail -----------
+    keys = sorted(set(video_feats) & set(audio_feats))
+    videos, audios, labels, kept = [], [], [], []
+    for k in keys:
+        label = label_from_name(k)
+        if label is None:              # dropped classes (calm/surprise)
+            continue
+        videos.append(np.asarray(video_feats[k], np.float32))
+        audios.append(audio_feats[k])
+        labels.append(label)
+        kept.append(k)
+    if not kept:
+        raise FileNotFoundError(
+            f"no pairable clips under {video_dir} / {audio_dir}")
+    if verbose:
+        print(f"extract_dataset_arrays: {len(kept)} paired clips in "
+              f"{time.time() - t0:.1f}s (features HBM-bound, no npy)",
+              flush=True)
+    return dataset_from_features(
+        videos, np.stack(audios).astype(np.float32),
+        np.asarray(labels, np.int32), kept, data_cfg, max_chunks)
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
     parser = argparse.ArgumentParser(
         description="Offline feature extraction (video → ViViT, audio → Wav2Vec2)")

@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="evaluate/select on a per-step EMA of the params "
                         "(0 = off, reference behavior; requires --fused)")
+    p.add_argument("--raw_videos", default=None, metavar="DIR",
+                   help="RAW face-crop videos: extract ViViT features on "
+                        "device straight into HBM and train, skipping the "
+                        ".npy round-trip (requires --raw_audio)")
+    p.add_argument("--raw_audio", default=None, metavar="DIR",
+                   help="RAW audio tracks for --raw_videos")
     args = p.parse_args(argv)
 
     data_cfg = DataConfig(
@@ -68,7 +74,14 @@ def main(argv=None):
         batch_size=args.batch_size, pairing=args.pairing,
         normalization=args.normalization,
         oversample_neutral=args.oversample_neutral)
-    data, splits = load_dataset(data_cfg)
+    if (args.raw_videos is None) != (args.raw_audio is None):
+        p.error("--raw_videos and --raw_audio must be given together")
+    if args.raw_videos:
+        from mmer_tpu.preprocess.extract import extract_dataset_arrays
+        data, splits = extract_dataset_arrays(
+            args.raw_videos, args.raw_audio, data_cfg=data_cfg)
+    else:
+        data, splits = load_dataset(data_cfg)
     print(f"Samples: {data.num_samples}  max_chunks: {data.max_chunks}  "
           f"train/val/test: {len(splits.train)}/{len(splits.val)}/{len(splits.test)}")
 

@@ -1,5 +1,7 @@
 """Data-pipeline tests: normalization, padding, splits, class weights."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -92,3 +94,76 @@ def test_load_dataset_end_to_end(synthetic_feature_dirs):
         assert np.all(data.video[i, t:] == 0.0)
         assert np.all(data.pad_mask[i, t:])
         assert not np.any(data.pad_mask[i, :t])
+
+
+def test_extract_dataset_arrays_matches_disk_path(tmp_path):
+    """The HBM-resident extract→train path (extract_dataset_arrays) must
+    produce the SAME DatasetArrays/DataSplits as extract→.npy→load_dataset
+    — including the audio float16 quantization the npy contract imposes
+    (reference voice_extractor.py:95)."""
+    import wave as wave_mod
+
+    import cv2
+
+    from mmer_tpu.config import ViViTConfig, Wav2Vec2Config
+    from mmer_tpu.preprocess.extract import (VideoFeatureExtractor,
+                                             extract_audio_folder,
+                                             extract_dataset_arrays,
+                                             extract_video_folder)
+
+    emotions = ["NEU", "HAP", "SAD", "ANG", "FEA", "DIS"]
+    vdir, adir = str(tmp_path / "videos"), str(tmp_path / "audio")
+    os.makedirs(vdir)
+    os.makedirs(adir)
+    rng = np.random.default_rng(0)
+    sr = 16000
+    for actor in range(1001, 1011):
+        for emo in emotions:
+            key = f"{actor}_IEO_{emo}_XX"
+            w = cv2.VideoWriter(os.path.join(vdir, f"{key}_faces.mp4"),
+                                cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                                (32, 32))
+            for _ in range(8):
+                w.write(rng.integers(0, 255, (32, 32, 3), np.uint8))
+            w.release()
+            tone = (0.3 * np.sin(2 * np.pi * (200 + 50 * emotions.index(emo))
+                                 * np.arange(4800) / sr)).astype(np.float32)
+            with wave_mod.open(os.path.join(adir, f"{key}.wav"), "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(sr)
+                f.writeframes((tone * 32767).astype(np.int16).tobytes())
+
+    tiny_v = ViViTConfig(image_size=(32, 32), patch_size=(16, 16),
+                         num_frames=8, tubelet_size=4, dim=768, depth=1,
+                         heads=2, dim_head=32, mlp_dim=64,
+                         compute_dtype="float32")
+    tiny_a = Wav2Vec2Config(hidden_dim=1024, num_layers=1, num_heads=2,
+                            ffn_dim=64, conv_dims=(16, 16),
+                            conv_strides=(5, 2), conv_kernels=(10, 3),
+                            num_conv_pos_embeddings=16,
+                            num_conv_pos_embedding_groups=4,
+                            compute_dtype="float32")
+    ex = VideoFeatureExtractor(tiny_v, device_batch=4, use_flash=False)
+
+    # Disk route: extract → npy artifacts → load_dataset.
+    vfeat, afeat = str(tmp_path / "vfeat"), str(tmp_path / "afeat")
+    extract_video_folder(vdir, vfeat, ex, chunk_size=8, verbose=False)
+    extract_audio_folder(adir, afeat, tiny_a, batch_size=8, verbose=False)
+    disk, disk_splits = load_dataset(
+        DataConfig(video_feat_dir=vfeat, audio_feat_dir=afeat))
+
+    # HBM route: same extractor/config, same audio batching.
+    mem, mem_splits = extract_dataset_arrays(
+        vdir, adir, video_extractor=ex, audio_cfg=tiny_a, audio_batch=8,
+        chunk_size=8, verbose=False)
+
+    assert mem.keys == disk.keys
+    np.testing.assert_array_equal(mem.labels, disk.labels)
+    np.testing.assert_allclose(mem.audio, disk.audio, atol=1e-6)
+    np.testing.assert_allclose(mem.video, disk.video, atol=1e-5)
+    np.testing.assert_array_equal(mem.pad_mask, disk.pad_mask)
+    np.testing.assert_array_equal(mem_splits.train, disk_splits.train)
+    np.testing.assert_array_equal(mem_splits.test, disk_splits.test)
+    np.testing.assert_allclose(mem_splits.class_weights,
+                               disk_splits.class_weights)
