@@ -59,7 +59,7 @@ def build_fused_train(model: MultimodalEmotionModel,
                       optimizer: optax.GradientTransformation,
                       model_cfg: ModelConfig, train_cfg: TrainConfig,
                       batch_size: int, eval_batch: int = 1024,
-                      mesh=None) -> Callable:
+                      mesh=None, raw: bool = False) -> Callable:
     """→ jitted ``run(params, opt_state, rng, data, train_idx, val_idx,
     test_idx, class_weights)`` executing the whole training run.
 
@@ -246,7 +246,92 @@ def build_fused_train(model: MultimodalEmotionModel,
         final = jax.lax.while_loop(cond, body, carry)
         return final
 
+    if raw:
+        return run
     return jax.jit(run, donate_argnums=(0, 1))
+
+
+def build_fused_train_multi(model: MultimodalEmotionModel,
+                            optimizer: optax.GradientTransformation,
+                            model_cfg: ModelConfig, train_cfg: TrainConfig,
+                            batch_size: int, eval_batch: int = 1024
+                            ) -> Callable:
+    """Seed-parallel fused training: ``vmap`` the ENTIRE while_loop over a
+    leading seed axis, so an N-seed statistical sweep (the reference runs
+    these one at a time over hours, training_runs_2/ holds 16 of them) is
+    ONE device call.
+
+    JAX's while_loop batching rule runs until every seed's condition is
+    False and freezes finished seeds' carries, so per-seed early stopping
+    matches the single-seed trainer exactly (asserted in
+    test_fused_train.py).  Data/index/class-weight arguments are shared
+    (in_axes=None); params/opt_state/rng carry the seed axis.
+    """
+    run = build_fused_train(model, optimizer, model_cfg, train_cfg,
+                            batch_size, eval_batch, raw=True)
+    return jax.jit(jax.vmap(
+        run, in_axes=(0, 0, 0, None, None, None, None, None)),
+        donate_argnums=(0, 1))
+
+
+def train_many_seeds(data, splits, model_cfg: ModelConfig,
+                     train_cfg: TrainConfig, batch_size: int,
+                     seeds, verbose: bool = True) -> list:
+    """Train ``len(seeds)`` independent runs in one jitted device call.
+
+    Returns one dict per seed: ``{"seed", "results", "best_epoch",
+    "best_params", "wall_seconds"}`` with per-epoch rows in the
+    reference's results schema.  Each seed's init/rng stream is identical
+    to ``train_model(..., fused=True, seed=s)``.
+    """
+    import time
+
+    from mmer_tpu.train.loop import make_optimizer
+
+    model = MultimodalEmotionModel(model_cfg)
+    optimizer = make_optimizer(train_cfg)
+    dev_data = {
+        "video": jnp.asarray(data.video),
+        "audio": jnp.asarray(data.audio),
+        "pad_mask": jnp.asarray(data.pad_mask),
+        "labels": jnp.asarray(data.labels),
+    }
+    class_weights = jnp.asarray(splits.class_weights)
+
+    def init_one(seed_key):
+        rng, init_key = jax.random.split(seed_key)
+        params = model.init(
+            {"params": init_key}, dev_data["video"][:2],
+            dev_data["audio"][:2], dev_data["pad_mask"][:2])["params"]
+        return params, optimizer.init(params), rng
+
+    seed_keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+    params, opt_states, rngs = jax.jit(jax.vmap(init_one))(seed_keys)
+
+    run_many = build_fused_train_multi(model, optimizer, model_cfg,
+                                       train_cfg, batch_size)
+    t0 = time.time()
+    final = run_many(params, opt_states, rngs, dev_data,
+                     jnp.asarray(splits.train, jnp.int32),
+                     jnp.asarray(splits.val, jnp.int32),
+                     jnp.asarray(splits.test, jnp.int32), class_weights)
+    jax.block_until_ready(final.epoch)
+    elapsed = time.time() - t0
+    if verbose:
+        print(f"{len(seeds)} seeds in one fused call: {elapsed:.1f}s "
+              f"({elapsed / len(seeds):.1f}s/seed amortized)", flush=True)
+
+    outs = []
+    for i, seed in enumerate(seeds):
+        final_i = jax.tree_util.tree_map(lambda x: x[i], final)
+        outs.append({
+            "seed": int(seed),
+            "results": fused_results_rows(final_i),
+            "best_epoch": int(final_i.best_epoch),
+            "best_params": jax.device_get(final_i.best_params),
+            "wall_seconds": elapsed,
+        })
+    return outs
 
 
 def fused_results_rows(final: FusedCarry) -> list:

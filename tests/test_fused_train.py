@@ -86,6 +86,48 @@ def test_ema_heavy_decay_lags_and_selects_averaged_params(tiny_dataset):
     assert max(jax.tree_util.tree_leaves(diffs)) > 1e-6
 
 
+def test_train_many_seeds_matches_individual_runs(tiny_dataset):
+    """Seed-parallel (vmapped while_loop) training must reproduce each
+    single-seed run's rng streams and control flow.  Numerics: vmap
+    batches the GEMMs over seeds, reordering f32 accumulation, and SGD
+    amplifies that chaotically over epochs — so the FIRST epoch must agree
+    tightly and later epochs only qualitatively (both converge on the
+    separable signal)."""
+    from mmer_tpu.train.fused import train_many_seeds
+
+    data, splits = tiny_dataset
+    cfg = TrainConfig(num_epochs=6, lr=1e-3, save_checkpoints=False,
+                      patience=10 ** 9)
+    multi = train_many_seeds(data, splits, CFG, cfg, batch_size=32,
+                             seeds=[0, 3], verbose=False)
+    assert len(multi) == 2
+    for out in multi:
+        single = train_model(data, splits, CFG, cfg, batch_size=32,
+                             verbose=False, fused=True, seed=out["seed"])
+        assert len(out["results"]) == len(single.results)
+        a0, b0 = out["results"][0], single.results[0]
+        assert abs(a0["val_loss"] - b0["val_loss"]) < 5e-3, out["seed"]
+        assert abs(a0["train_loss"] - b0["train_loss"]) < 5e-3
+        # Both trajectories learn the same separable signal.
+        assert out["results"][-1]["train_loss"] < a0["train_loss"]
+        assert abs(out["results"][-1]["val_loss"]
+                   - single.results[-1]["val_loss"]) < 0.2
+
+
+def test_train_many_seeds_early_stop_per_seed(tiny_dataset):
+    """With lr=0 every seed stops at 1+patience epochs; the vmapped loop
+    must report that per seed (not run to num_epochs)."""
+    from mmer_tpu.train.fused import train_many_seeds
+
+    data, splits = tiny_dataset
+    cfg = TrainConfig(num_epochs=50, lr=0.0, save_checkpoints=False,
+                      patience=3, min_delta=1e-4)
+    multi = train_many_seeds(data, splits, CFG, cfg, batch_size=32,
+                             seeds=[1, 2], verbose=False)
+    for out in multi:
+        assert len(out["results"]) == 4
+
+
 def test_ema_requires_fused(tiny_dataset):
     with pytest.raises(ValueError, match="fused"):
         _run(tiny_dataset, fused=False, ema_decay=0.9)
