@@ -69,6 +69,11 @@ def build_fused_train(model: MultimodalEmotionModel,
     arrive pre-placed by parallel/sharding.py, so the whole while_loop body
     runs dp (and tp, if params are model-sharded) with XLA-inserted ICI
     collectives.
+
+    ``raw=True`` returns the unjitted parts ``(make_carry, run_until)``
+    instead — run_until(carry, until, …) advances a FusedCarry to a
+    dynamic epoch bound, enabling vmap-over-seeds and epoch segmentation
+    (train_many_seeds).
     """
     from mmer_tpu.parallel.sharding import batch_spec
 
@@ -153,8 +158,7 @@ def build_fused_train(model: MultimodalEmotionModel,
         (loss_sum, w_sum, cm), _ = jax.lax.scan(step_fn, init, batches)
         return loss_sum / jnp.maximum(w_sum, 1.0), cm
 
-    def run(params, opt_state, rng, data, train_idx, val_idx, test_idx,
-            class_weights):
+    def make_carry(params, opt_state, rng):
         metrics = {
             "train_loss": jnp.zeros((num_epochs,)),
             "val_loss": jnp.zeros((num_epochs,)),
@@ -162,7 +166,7 @@ def build_fused_train(model: MultimodalEmotionModel,
             "test_cm": jnp.zeros((num_epochs, num_classes, num_classes)),
             "lr": jnp.zeros((num_epochs,)),
         }
-        carry = FusedCarry(
+        return FusedCarry(
             params=params, opt_state=opt_state, rng=rng,
             epoch=jnp.zeros((), jnp.int32), done=jnp.zeros((), bool),
             best_params=jax.tree_util.tree_map(jnp.copy, params),
@@ -176,8 +180,16 @@ def build_fused_train(model: MultimodalEmotionModel,
             ema_params=(jax.tree_util.tree_map(jnp.copy, params)
                         if use_ema else None))
 
+    def run_until(carry, until, data, train_idx, val_idx, test_idx,
+                  class_weights):
+        """Advance the run to epoch ``until`` (dynamic scalar) or early
+        stop, whichever first — the while_loop body of the whole-run
+        trainer, resumable from any FusedCarry (epoch segmentation for
+        environments that bound device-program duration)."""
+        until = jnp.minimum(jnp.asarray(until, jnp.int32), num_epochs)
+
         def cond(c: FusedCarry):
-            return (c.epoch < num_epochs) & ~c.done
+            return (c.epoch < until) & ~c.done
 
         def body(c: FusedCarry) -> FusedCarry:
             params, opt_state, ema, rng, train_loss = train_epoch(
@@ -243,48 +255,45 @@ def build_fused_train(model: MultimodalEmotionModel,
                 prev_val_loss=val_loss, no_improve=no_improve,
                 metrics=metrics, ema_params=ema)
 
-        final = jax.lax.while_loop(cond, body, carry)
-        return final
+        return jax.lax.while_loop(cond, body, carry)
+
+    def run(params, opt_state, rng, data, train_idx, val_idx, test_idx,
+            class_weights):
+        return run_until(make_carry(params, opt_state, rng), num_epochs,
+                         data, train_idx, val_idx, test_idx, class_weights)
 
     if raw:
-        return run
+        return make_carry, run_until
     return jax.jit(run, donate_argnums=(0, 1))
-
-
-def build_fused_train_multi(model: MultimodalEmotionModel,
-                            optimizer: optax.GradientTransformation,
-                            model_cfg: ModelConfig, train_cfg: TrainConfig,
-                            batch_size: int, eval_batch: int = 1024
-                            ) -> Callable:
-    """Seed-parallel fused training: ``vmap`` the ENTIRE while_loop over a
-    leading seed axis, so an N-seed statistical sweep (the reference runs
-    these one at a time over hours, training_runs_2/ holds 16 of them) is
-    ONE device call.
-
-    JAX's while_loop batching rule runs until every seed's condition is
-    False and freezes finished seeds' carries, so per-seed early stopping
-    matches the single-seed trainer exactly (asserted in
-    test_fused_train.py).  Data/index/class-weight arguments are shared
-    (in_axes=None); params/opt_state/rng carry the seed axis.
-    """
-    run = build_fused_train(model, optimizer, model_cfg, train_cfg,
-                            batch_size, eval_batch, raw=True)
-    return jax.jit(jax.vmap(
-        run, in_axes=(0, 0, 0, None, None, None, None, None)),
-        donate_argnums=(0, 1))
 
 
 def train_many_seeds(data, splits, model_cfg: ModelConfig,
                      train_cfg: TrainConfig, batch_size: int,
-                     seeds, verbose: bool = True) -> list:
-    """Train ``len(seeds)`` independent runs in one jitted device call.
+                     seeds, seeds_per_call: int = 4,
+                     epochs_per_call: int = 100,
+                     verbose: bool = True) -> list:
+    """Seed-parallel fused training: ``vmap`` the whole-run while_loop
+    over a leading seed axis, so an N-seed statistical sweep (the
+    reference runs its 16-run sweep one process at a time) shares every
+    gather and GEMM as a batched dimension.
 
     Returns one dict per seed: ``{"seed", "results", "best_epoch",
     "best_params", "wall_seconds"}`` with per-epoch rows in the
     reference's results schema.  Each seed's init/rng stream is identical
-    to ``train_model(..., fused=True, seed=s)``.
+    to ``train_model(..., fused=True, seed=s)``; JAX's while_loop
+    batching freezes finished seeds' carries, so per-seed early stopping
+    is preserved.
+
+    ``seeds_per_call``/``epochs_per_call`` bound the device-program size:
+    on the v5e-1 behind this environment's relay, programs past roughly
+    4-seed×100-epoch (or 8×anything) fault with UNAVAILABLE — epoch
+    segmentation resumes the SAME FusedCarry across bounded calls (the
+    ``until`` bound is a dynamic scalar, so every segment reuses one
+    compiled program).  Raise both on hardware without such limits.
     """
     import time
+
+    import numpy as np
 
     from mmer_tpu.train.loop import make_optimizer
 
@@ -305,32 +314,55 @@ def train_many_seeds(data, splits, model_cfg: ModelConfig,
             dev_data["audio"][:2], dev_data["pad_mask"][:2])["params"]
         return params, optimizer.init(params), rng
 
-    seed_keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
-    params, opt_states, rngs = jax.jit(jax.vmap(init_one))(seed_keys)
-
-    run_many = build_fused_train_multi(model, optimizer, model_cfg,
-                                       train_cfg, batch_size)
-    t0 = time.time()
-    final = run_many(params, opt_states, rngs, dev_data,
-                     jnp.asarray(splits.train, jnp.int32),
-                     jnp.asarray(splits.val, jnp.int32),
-                     jnp.asarray(splits.test, jnp.int32), class_weights)
-    jax.block_until_ready(final.epoch)
-    elapsed = time.time() - t0
-    if verbose:
-        print(f"{len(seeds)} seeds in one fused call: {elapsed:.1f}s "
-              f"({elapsed / len(seeds):.1f}s/seed amortized)", flush=True)
+    init_many = jax.jit(jax.vmap(init_one))
+    make_carry, run_until = build_fused_train(
+        model, optimizer, model_cfg, train_cfg, batch_size, raw=True)
+    carry_many = jax.jit(jax.vmap(make_carry))
+    seg_many = jax.jit(
+        jax.vmap(run_until,
+                 in_axes=(0, None, None, None, None, None, None)),
+        donate_argnums=(0,))
+    train_idx = jnp.asarray(splits.train, jnp.int32)
+    val_idx = jnp.asarray(splits.val, jnp.int32)
+    test_idx = jnp.asarray(splits.test, jnp.int32)
+    num_epochs = train_cfg.num_epochs
 
     outs = []
-    for i, seed in enumerate(seeds):
-        final_i = jax.tree_util.tree_map(lambda x: x[i], final)
-        outs.append({
-            "seed": int(seed),
-            "results": fused_results_rows(final_i),
-            "best_epoch": int(final_i.best_epoch),
-            "best_params": jax.device_get(final_i.best_params),
-            "wall_seconds": elapsed,
-        })
+    seeds = list(seeds)
+    for lo in range(0, len(seeds), seeds_per_call):
+        chunk = seeds[lo:lo + seeds_per_call]
+        # Uniform chunk size (pad by repeating the last seed) so every
+        # call reuses ONE compiled program; padded lanes are discarded.
+        padded = chunk + [chunk[-1]] * (seeds_per_call - len(chunk))
+        seed_keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in padded])
+        carry = carry_many(*init_many(seed_keys))
+        t0 = time.time()
+        until = 0
+        while True:
+            until = min(until + epochs_per_call, num_epochs)
+            carry = seg_many(carry, until, dev_data, train_idx, val_idx,
+                             test_idx, class_weights)
+            # Host sync per segment: bounds device-program duration AND
+            # actually surfaces async device errors (block_until_ready
+            # does not reliably block through the dev relay).
+            done = np.asarray(carry.done)
+            if until >= num_epochs or bool(np.all(done)):
+                break
+        elapsed = time.time() - t0
+        if verbose:
+            print(f"seeds {chunk} fused ({-(-until // epochs_per_call)} "
+                  f"segment calls): {elapsed:.1f}s "
+                  f"({elapsed / len(chunk):.1f}s/seed amortized)",
+                  flush=True)
+        for i, seed in enumerate(chunk):
+            final_i = jax.tree_util.tree_map(lambda x: x[i], carry)
+            outs.append({
+                "seed": int(seed),
+                "results": fused_results_rows(final_i),
+                "best_epoch": int(final_i.best_epoch),
+                "best_params": jax.device_get(final_i.best_params),
+                "wall_seconds": elapsed,
+            })
     return outs
 
 

@@ -114,6 +114,28 @@ def test_train_many_seeds_matches_individual_runs(tiny_dataset):
                    - single.results[-1]["val_loss"]) < 0.2
 
 
+def test_train_many_seeds_chunks_and_padding(tiny_dataset):
+    """3 seeds at seeds_per_call=2 → two calls, the second padded with a
+    repeated seed lane that must be discarded; chunked results must match
+    one-call results."""
+    from mmer_tpu.train.fused import train_many_seeds
+
+    data, splits = tiny_dataset
+    cfg = TrainConfig(num_epochs=3, lr=1e-3, save_checkpoints=False,
+                      patience=10 ** 9)
+    chunked = train_many_seeds(data, splits, CFG, cfg, batch_size=32,
+                               seeds=[0, 1, 2], seeds_per_call=2,
+                               verbose=False)
+    whole = train_many_seeds(data, splits, CFG, cfg, batch_size=32,
+                             seeds=[0, 1, 2], seeds_per_call=3,
+                             verbose=False)
+    assert [o["seed"] for o in chunked] == [0, 1, 2]
+    for a, b in zip(chunked, whole):
+        assert len(a["results"]) == len(b["results"])
+        assert abs(a["results"][0]["val_loss"]
+                   - b["results"][0]["val_loss"]) < 5e-3
+
+
 def test_train_many_seeds_early_stop_per_seed(tiny_dataset):
     """With lr=0 every seed stops at 1+patience epochs; the vmapped loop
     must report that per seed (not run to num_epochs)."""
