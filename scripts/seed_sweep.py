@@ -1,0 +1,83 @@
+"""Seed-parallel statistical sweep of one recipe (train_many_seeds).
+
+Runs N seeds of a single configuration with the vmapped fused trainer —
+seeds share every gather/GEMM as a batched dimension, ~2.5× the
+sequential per-seed wall time warm (25.7 vs ~65 s/seed measured on a
+v5e-1 for the winning 400-epoch recipe).  Defaults reproduce the README
+"Beating the reference's headline quality" table.
+
+Run: python scripts/seed_sweep.py [--seeds 8] [--ref-recipe]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--seeds", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=400)
+    parser.add_argument("--seeds_per_call", type=int, default=4)
+    parser.add_argument("--epochs_per_call", type=int, default=100)
+    parser.add_argument("--ref-recipe", action="store_true",
+                        help="the reference's exact recipe (wd 1e-4, no "
+                             "dropout bump/label smoothing) instead of "
+                             "the winning regularized one")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from mmer_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from mmer_tpu.data.pipeline import load_dataset
+    from mmer_tpu.train.fused import train_many_seeds
+
+    data, splits = load_dataset(DataConfig())
+    if args.ref_recipe:
+        model_cfg = ModelConfig(max_seq_len=data.max_chunks + 1)
+        train_cfg = TrainConfig(num_epochs=args.epochs, lr=1e-5,
+                                save_checkpoints=False,
+                                output_dir="/tmp/seed_sweep")
+    else:
+        model_cfg = ModelConfig(max_seq_len=data.max_chunks + 1,
+                                fusion_dropout=0.2, classifier_dropout=0.2)
+        train_cfg = TrainConfig(num_epochs=args.epochs, lr=1e-5,
+                                weight_decay=5e-3, label_smoothing=0.1,
+                                save_checkpoints=False,
+                                output_dir="/tmp/seed_sweep")
+
+    outs = train_many_seeds(data, splits, model_cfg, train_cfg,
+                            batch_size=64, seeds=list(range(args.seeds)),
+                            seeds_per_call=args.seeds_per_call,
+                            epochs_per_call=args.epochs_per_call)
+
+    best_f1, val_f1 = [], []
+    for o in outs:
+        rows = o["results"]
+        best = max(rows, key=lambda r: r["test_macro_f1"])
+        sel = min(rows, key=lambda r: r["val_loss"])
+        best_f1.append(best["test_macro_f1"])
+        val_f1.append(sel["test_macro_f1"])
+        print(f"seed {o['seed']}: epochs {len(rows)} "
+              f"best-epoch F1 {best['test_macro_f1']:.4f} "
+              f"val-selected {sel['test_macro_f1']:.4f}", flush=True)
+    print(json.dumps({
+        "recipe": "reference" if args.ref_recipe else "winning",
+        "seeds": args.seeds,
+        "best_epoch_f1_mean": round(float(np.mean(best_f1)), 4),
+        "best_epoch_f1_std": round(float(np.std(best_f1)), 4),
+        "val_selected_f1_mean": round(float(np.mean(val_f1)), 4),
+        "val_selected_f1_std": round(float(np.std(val_f1)), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
