@@ -272,13 +272,22 @@ def main():
                         help="norm_stats_*.npz from the training run")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile default-request graphs at startup")
+    parser.add_argument("--warmup_resolutions", default="",
+                        help="comma-separated HxW video formats to also "
+                             "pre-compile the crop graph for, e.g. "
+                             "'480x640,720x1280' (first upload of an "
+                             "unwarmed resolution pays a small compile)")
     args = parser.parse_args()
     engine = InferenceEngine(fusion_params_path=args.fusion_params,
                              vivit_params_path=args.vivit_params,
                              wav_params_path=args.wav_params,
                              norm_stats_path=args.norm_stats)
     if args.warmup:
-        engine.warmup()
+        resolutions = []
+        for part in filter(None, args.warmup_resolutions.split(",")):
+            h, w = part.lower().split("x")
+            resolutions.append((int(h), int(w)))
+        engine.warmup(resolutions=resolutions)
     serve(engine, args.host, args.port)
 
 

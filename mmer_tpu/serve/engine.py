@@ -28,7 +28,7 @@ and ``window_size`` is clamped to fit, loudly.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -289,12 +289,20 @@ class InferenceEngine:
         return {"bounding_box": bounding_box, "inference": inference}
 
     def warmup(self, subchunk_size: int = 32, window_size: int = 5,
-               explain: bool = True) -> None:
+               explain: bool = True,
+               resolutions: Sequence[Tuple[int, int]] = ()) -> None:
         """Pre-compile the default-request compute graphs (ViViT at the
         subchunk shape, Wav2Vec2 at 1s/10s buckets, fusion AND the IG
         explain graph at each window length) so the first real upload
         doesn't pay cold-compile latency.  With the persistent compile
-        cache this is fast after the first-ever server start on a machine."""
+        cache this is fast after the first-ever server start on a machine.
+
+        ``resolutions``: (height, width) video formats to pre-compile the
+        per-resolution crop graph for (embed_cropped_frames) — without
+        this, the first upload of each new resolution pays a small
+        compile (~measured 17 s first-request vs 7 s steady on this
+        environment's relay).  Pass your expected camera formats, e.g.
+        ``[(480, 640), (720, 1280)]``."""
         import numpy as np
 
         max_tokens = self.model_cfg.max_seq_len - 1
@@ -305,6 +313,12 @@ class InferenceEngine:
         chunks = np.zeros((1, subchunk_size, *self.vivit_cfg.image_size, 3),
                           np.uint8)
         sub_feats = self.video_extractor.embed_chunks(chunks)
+        for h, w in resolutions:
+            frames = np.zeros((subchunk_size, h, w, 3), np.uint8)
+            bboxes = np.tile(np.asarray([0, 0, w, h], np.float32),
+                             (subchunk_size, 1))
+            self.video_extractor.embed_cropped_frames(frames, bboxes,
+                                                      subchunk_size)
         self.audio_embedder.embed_batch(
             [np.zeros(self.wav_cfg.sample_rate, np.float32)])
         _, params, apply = self.fusion

@@ -71,6 +71,10 @@ def main() -> None:
                         help=">= 10 so the 80/10/10 stratified split has "
                              "every class in each fold")
     parser.add_argument("--keep", action="store_true")
+    parser.add_argument("--hbm", action="store_true",
+                        help="HBM-resident route: extract straight into "
+                             "the trainer (--raw_videos/--raw_audio path) "
+                             "instead of writing npy artifacts")
     args = parser.parse_args()
 
     from mmer_tpu.core.cache import enable_persistent_cache
@@ -84,22 +88,31 @@ def main() -> None:
 
     from mmer_tpu.preprocess.extract import (extract_audio_folder,
                                              extract_video_folder)
-
-    print("[2/4] video features (full-size ViViT, Pallas attention)")
-    extract_video_folder(os.path.join(root, "videos"),
-                         os.path.join(root, "video_features"), verbose=False)
-    print("[3/4] audio features (Wav2Vec2-large, device pooling)")
-    extract_audio_folder(os.path.join(root, "audio"),
-                         os.path.join(root, "audio_features"), verbose=False)
-
-    print("[4/4] fused training on the extracted artifacts")
     from mmer_tpu.train.cli import main as train_main
 
-    out = train_main([
-        "--batch_size", "16", "--num_epochs", "40", "--lr", "1e-4",
-        "--video_feat_dir", os.path.join(root, "video_features"),
-        "--audio_feat_dir", os.path.join(root, "audio_features"),
-        "--output_dir", os.path.join(root, "runs"), "--fused"])
+    if args.hbm:
+        print("[2-4/4] HBM route: extract on device → fused train, no npy")
+        out = train_main([
+            "--batch_size", "16", "--num_epochs", "40", "--lr", "1e-4",
+            "--raw_videos", os.path.join(root, "videos"),
+            "--raw_audio", os.path.join(root, "audio"),
+            "--output_dir", os.path.join(root, "runs"), "--fused"])
+    else:
+        print("[2/4] video features (full-size ViViT, Pallas attention)")
+        extract_video_folder(os.path.join(root, "videos"),
+                             os.path.join(root, "video_features"),
+                             verbose=False)
+        print("[3/4] audio features (Wav2Vec2-large, device pooling)")
+        extract_audio_folder(os.path.join(root, "audio"),
+                             os.path.join(root, "audio_features"),
+                             verbose=False)
+
+        print("[4/4] fused training on the extracted artifacts")
+        out = train_main([
+            "--batch_size", "16", "--num_epochs", "40", "--lr", "1e-4",
+            "--video_feat_dir", os.path.join(root, "video_features"),
+            "--audio_feat_dir", os.path.join(root, "audio_features"),
+            "--output_dir", os.path.join(root, "runs"), "--fused"])
 
     best = max((r.get("test_acc", 0.0) for r in out.results), default=0.0)
     print(f"\nE2E RESULT: best test acc {best:.1f}% "

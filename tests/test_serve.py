@@ -95,7 +95,8 @@ def test_window_size_clamped_to_model(face_video, engine):
 
 
 def test_engine_warmup(engine):
-    engine.warmup(subchunk_size=4, window_size=2)
+    engine.warmup(subchunk_size=4, window_size=2,
+                  resolutions=[(40, 52)])   # also pre-compiles a crop graph
 
 
 def test_fusion_checkpoint_loading(tmp_path, face_video):
