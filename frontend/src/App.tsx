@@ -3,7 +3,7 @@
 // forward-fill, bbox overlay, waveform, per-window importance chart, and a
 // per-window results strip.
 
-import { useCallback, useMemo, useState } from "react";
+import { useCallback, useMemo, useRef, useState } from "react";
 import AudioWaveform from "./components/AudioWaveform";
 import FeatureImportanceChart from "./components/FeatureImportanceChart";
 import VideoPlayer from "./components/VideoPlayer";
@@ -35,26 +35,41 @@ export default function App() {
   const [duration, setDuration] = useState(0);
   const [windowSize, setWindowSize] = useState(5);
   const [detectEvery, setDetectEvery] = useState(1);
+  // Monotonic pick token: a slow FLV remux that resolves after the user
+  // picked another file must not clobber the newer selection's preview.
+  const pickRef = useRef(0);
 
-  const onPick = useCallback(async (f: File | null) => {
-    setFile(f);
-    setResult(null);
-    setError("");
-    setFlvNotice(false);
-    if (f) {
-      setVideoUrl(URL.createObjectURL(f));
-      // The reference transcodes FLV in-browser via ffmpeg.wasm; here the
-      // backend copy-remuxes H.264/AAC FLVs to MP4 (POST /remux/) so the
-      // player previews real MP4 bytes. Non-remuxable codecs → notice.
-      if (await isFlv(f)) {
-        const mp4 = await remuxFlv(f);
-        if (mp4) setVideoUrl(URL.createObjectURL(mp4));
-        else setFlvNotice(true);
-      }
-    } else {
-      setVideoUrl("");
-    }
+  const setPreviewUrl = useCallback((url: string) => {
+    setVideoUrl((prev) => {
+      if (prev) URL.revokeObjectURL(prev);
+      return url;
+    });
   }, []);
+
+  const onPick = useCallback(
+    async (f: File | null) => {
+      const token = ++pickRef.current;
+      setFile(f);
+      setResult(null);
+      setError("");
+      setFlvNotice(false);
+      if (f) {
+        setPreviewUrl(URL.createObjectURL(f));
+        // The reference transcodes FLV in-browser via ffmpeg.wasm; here the
+        // backend copy-remuxes H.264/AAC FLVs to MP4 (POST /remux/) so the
+        // player previews real MP4 bytes. Non-remuxable codecs → notice.
+        if (await isFlv(f)) {
+          const mp4 = await remuxFlv(f);
+          if (token !== pickRef.current) return; // stale pick — drop it
+          if (mp4) setPreviewUrl(URL.createObjectURL(mp4));
+          else setFlvNotice(true);
+        }
+      } else {
+        setPreviewUrl("");
+      }
+    },
+    [setPreviewUrl],
+  );
 
   const analyze = useCallback(async () => {
     if (!file) return;

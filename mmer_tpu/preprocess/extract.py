@@ -123,9 +123,11 @@ class VideoFeatureExtractor:
         ~70 MB/request through this image's ~27 MB/s tunnel, and on real
         hardware still 2 needless PCIe trips.
 
-        N is bucketed up to a multiple of ``subchunk_size`` on the host
-        (repeating the last frame/bbox) so the small crop graph compiles
-        per 32-frame bucket, not per exact frame count; the ViViT program
+        Frames are cropped in fixed ``subchunk_size``-frame blocks (the
+        last block padded by repeating the final frame/bbox), so per video
+        resolution there is exactly ONE compiled crop graph — the
+        ``(subchunk_size, H, W, C)`` shape ``engine.warmup(resolutions=…)``
+        pre-compiles — regardless of upload length; the ViViT program
         itself always runs at the fixed (device_batch, …) uint8 shape.
         """
         jnp = self._jnp
@@ -138,14 +140,120 @@ class VideoFeatureExtractor:
             bboxes = np.concatenate(
                 [bboxes, np.repeat(bboxes[-1:], n_pad - n, axis=0)])
         from mmer_tpu.ops.image import crop_resize_batch
-        crops = crop_resize_batch(jnp.asarray(frames_u8),
-                                  jnp.asarray(bboxes, jnp.float32),
-                                  out_hw=tuple(self.cfg.image_size))
-        # Truncating uint8 quantization — bit-matches the old host path
-        # ((crops/255*255).astype(uint8)); _embed re-normalizes on device.
-        chunks = jnp.clip(crops, 0, 255).astype(jnp.uint8).reshape(
-            n_pad // sub, sub, *self.cfg.image_size, frames_u8.shape[-1])
+
+        out_hw = tuple(self.cfg.image_size)
+        chunk_list = []
+        for s in range(0, n_pad, sub):
+            crops = crop_resize_batch(jnp.asarray(frames_u8[s:s + sub]),
+                                      jnp.asarray(bboxes[s:s + sub],
+                                                  jnp.float32),
+                                      out_hw=out_hw)
+            # Truncating uint8 quantization — bit-matches the old host
+            # path ((crops/255*255).astype(uint8)); _embed re-normalizes
+            # on device.
+            chunk_list.append(jnp.clip(crops, 0, 255).astype(jnp.uint8))
+        chunks = jnp.stack(chunk_list)      # (n_sub, sub, H, W, C), device
         return self.embed_chunks(chunks)
+
+
+def iter_video_features(input_dir: str,
+                        extractor: VideoFeatureExtractor,
+                        chunk_size: Optional[int] = None,
+                        decode_workers: int = 4,
+                        verbose: bool = True):
+    """Yield ``(path, (num_chunks, dim) features)`` for every decodable
+    video under ``input_dir``.
+
+    The shared engine of the disk route (:func:`extract_video_folder`)
+    and the HBM route (:func:`extract_dataset_arrays`): decode runs in a
+    thread pool pipelined ahead of the device, and chunks from multiple
+    videos are batched into each device call (the reference embeds one
+    chunk at a time, video_extractor.py:152-156)."""
+    from collections import deque
+
+    chunk_size = chunk_size or extractor.cfg.num_frames
+    paths = list(iter_video_files(input_dir))
+    size = tuple(extractor.cfg.image_size)
+    with cf.ThreadPoolExecutor(max_workers=decode_workers) as pool:
+        # Bounded prefetch: Executor.map would submit EVERY decode up
+        # front, buffering the whole dataset's uint8 chunks in host RAM
+        # if the device lags; keep only ~2× workers in flight.
+        path_iter = iter(paths)
+        futures: deque = deque()
+
+        def submit_next():
+            p = next(path_iter, None)
+            if p is not None:
+                futures.append((p, pool.submit(
+                    load_video_chunks, p, chunk_size, size, "uint8")))
+
+        for _ in range(decode_workers * 2):
+            submit_next()
+
+        def decoded_iter():
+            while futures:
+                path, fut = futures.popleft()
+                chunks = fut.result()
+                submit_next()
+                yield path, chunks
+
+        decoded = decoded_iter()
+
+        pending: List[Tuple[str, int]] = []   # (path, num_chunks)
+        buffer: List[np.ndarray] = []
+
+        def flush():
+            if not pending:
+                return []
+            feats = extractor.embed_chunks(np.concatenate(buffer, axis=0))
+            out, offset = [], 0
+            for path, n_chunks in pending:
+                out.append((path, feats[offset:offset + n_chunks]))
+                offset += n_chunks
+            pending.clear()
+            buffer.clear()
+            return out
+
+        budget = max(extractor.device_batch * 4, 32)
+        for path, chunks in decoded:
+            if chunks is None:
+                if verbose:
+                    print(f"Failed to load video: {path}", flush=True)
+                continue
+            pending.append((path, chunks.shape[0]))
+            buffer.append(chunks)
+            if sum(c.shape[0] for c in buffer) >= budget:
+                yield from flush()
+        yield from flush()
+
+
+def iter_audio_embeddings(input_dir: str, embedder,
+                          batch_size: int = 64, verbose: bool = True):
+    """Yield ``(path, (1024,) embedding)`` for every decodable audio file
+    under ``input_dir``, embedded in device batches of ``batch_size``.
+    Shared by the disk and HBM routes (see :func:`iter_video_features`)."""
+    from mmer_tpu.preprocess.audio import iter_audio_files, load_waveform
+
+    batch: List[Tuple[str, np.ndarray]] = []
+
+    def flush():
+        if not batch:
+            return []
+        embs = embedder.embed_batch([w for _, w in batch])
+        out = [(p, e) for (p, _), e in zip(batch, embs)]
+        batch.clear()
+        return out
+
+    for path in iter_audio_files(input_dir):
+        wave = load_waveform(path, embedder.cfg.sample_rate)
+        if wave is None:
+            if verbose:
+                print(f"Failed to load audio: {path}", flush=True)
+            continue
+        batch.append((path, wave))
+        if len(batch) >= batch_size:
+            yield from flush()
+    yield from flush()
 
 
 def extract_video_folder(input_dir: str, output_dir: str,
@@ -157,50 +265,15 @@ def extract_video_folder(input_dir: str, output_dir: str,
     ``output_dir`` with the reference's artifact naming.  Decode is
     pipelined ahead of the device; chunks are cross-video batched."""
     extractor = extractor or VideoFeatureExtractor()
-    chunk_size = chunk_size or extractor.cfg.num_frames
-    paths = list(iter_video_files(input_dir))
     count = 0
     t0 = time.time()
-
-    size = tuple(extractor.cfg.image_size)
-    with cf.ThreadPoolExecutor(max_workers=decode_workers) as pool:
-        decoded = pool.map(
-            lambda p: (p, load_video_chunks(p, chunk_size, size,
-                                            dtype="uint8")), paths)
-
-        pending: List[Tuple[str, int]] = []   # (path, num_chunks)
-        buffer: List[np.ndarray] = []
-
-        def flush():
-            nonlocal count
-            if not pending:
-                return
-            all_chunks = np.concatenate(buffer, axis=0)
-            feats = extractor.embed_chunks(all_chunks)
-            offset = 0
-            for path, n_chunks in pending:
-                out_name = feature_output_name(path, input_dir)
-                save_video_features(os.path.join(output_dir, out_name),
-                                    feats[offset:offset + n_chunks])
-                offset += n_chunks
-                count += 1
-                if verbose:
-                    print(f"[{count}/{len(paths)}] {out_name}", flush=True)
-            pending.clear()
-            buffer.clear()
-
-        budget = max(extractor.device_batch * 4, 32)
-        for path, chunks in decoded:
-            if chunks is None:
-                if verbose:
-                    print(f"Failed to load video: {path}", flush=True)
-                continue
-            pending.append((path, chunks.shape[0]))
-            buffer.append(chunks)
-            if sum(c.shape[0] for c in buffer) >= budget:
-                flush()
-        flush()
-
+    for path, feats in iter_video_features(input_dir, extractor, chunk_size,
+                                           decode_workers, verbose):
+        out_name = feature_output_name(path, input_dir)
+        save_video_features(os.path.join(output_dir, out_name), feats)
+        count += 1
+        if verbose:
+            print(f"[{count}] {out_name}", flush=True)
     if verbose:
         dt = time.time() - t0
         print(f"Finished: {count} videos in {dt:.1f}s "
@@ -221,38 +294,18 @@ def extract_audio_folder(input_dir: str, output_dir: str,
     (length-masked pooling) and measured device throughput keeps rising
     through B=64 (390 → 505 clips/s from 16 → 64 on a v5e-1)."""
     from mmer_tpu.models.wav2vec2 import AudioEmbedder
-    from mmer_tpu.preprocess.audio import (audio_output_name,
-                                           iter_audio_files, load_waveform)
+    from mmer_tpu.preprocess.audio import audio_output_name
 
     cfg = cfg or Wav2Vec2Config()
     embedder = AudioEmbedder(cfg)
-    paths = list(iter_audio_files(input_dir))
     count = 0
-    batch: List[Tuple[str, np.ndarray]] = []
-
-    def flush():
-        nonlocal count
-        if not batch:
-            return
-        embs = embedder.embed_batch([w for _, w in batch])
-        for (path, _), emb in zip(batch, embs):
-            name = audio_output_name(os.path.basename(path))
-            save_audio_features(os.path.join(output_dir, name), emb)
-            count += 1
-            if verbose:
-                print(f"[{count}/{len(paths)}] {name}", flush=True)
-        batch.clear()
-
-    for path in paths:
-        wave = load_waveform(path, cfg.sample_rate)
-        if wave is None:
-            if verbose:
-                print(f"Failed to load audio: {path}", flush=True)
-            continue
-        batch.append((path, wave))
-        if len(batch) >= batch_size:
-            flush()
-    flush()
+    for path, emb in iter_audio_embeddings(input_dir, embedder, batch_size,
+                                           verbose):
+        name = audio_output_name(os.path.basename(path))
+        save_audio_features(os.path.join(output_dir, name), emb)
+        count += 1
+        if verbose:
+            print(f"[{count}] {name}", flush=True)
     if verbose:
         print(f"Finished: {count} audio files.", flush=True)
     return count
@@ -286,76 +339,27 @@ def extract_dataset_arrays(video_dir: str, audio_dir: str,
     from mmer_tpu.data.catalog import label_from_name, sample_key
     from mmer_tpu.data.pipeline import dataset_from_features
     from mmer_tpu.models.wav2vec2 import AudioEmbedder
-    from mmer_tpu.preprocess.audio import (audio_output_name,
-                                           iter_audio_files, load_waveform)
+    from mmer_tpu.preprocess.audio import audio_output_name
 
     data_cfg = data_cfg or DataConfig()
     extractor = video_extractor or VideoFeatureExtractor()
-    chunk_size = chunk_size or extractor.cfg.num_frames
-    size = tuple(extractor.cfg.image_size)
-
-    # ---- video: pipelined decode → cross-video batched device embed ----
-    video_feats = {}
-    paths = list(iter_video_files(video_dir))
     t0 = time.time()
-    with cf.ThreadPoolExecutor(max_workers=decode_workers) as pool:
-        decoded = pool.map(
-            lambda p: (p, load_video_chunks(p, chunk_size, size,
-                                            dtype="uint8")), paths)
-        pending: List[Tuple[str, int]] = []
-        buffer: List[np.ndarray] = []
 
-        def flush():
-            if not pending:
-                return
-            feats = extractor.embed_chunks(np.concatenate(buffer, axis=0))
-            offset = 0
-            for path, n_chunks in pending:
-                key = sample_key(feature_output_name(path, video_dir))
-                video_feats[key] = feats[offset:offset + n_chunks]
-                offset += n_chunks
-            pending.clear()
-            buffer.clear()
+    # Same decode/batch pipelines as the disk route, different sink.
+    video_feats = {
+        sample_key(feature_output_name(path, video_dir)): feats
+        for path, feats in iter_video_features(
+            video_dir, extractor, chunk_size, decode_workers, verbose)}
 
-        budget = max(extractor.device_batch * 4, 32)
-        for path, chunks in decoded:
-            if chunks is None:
-                if verbose:
-                    print(f"Failed to load video: {path}", flush=True)
-                continue
-            pending.append((path, chunks.shape[0]))
-            buffer.append(chunks)
-            if sum(c.shape[0] for c in buffer) >= budget:
-                flush()
-        flush()
-
-    # ---- audio: batched device embed -----------------------------------
     embedder = AudioEmbedder(audio_cfg or Wav2Vec2Config())
-    audio_feats = {}
-    batch: List[Tuple[str, np.ndarray]] = []
-
-    def aflush():
-        if not batch:
-            return
-        embs = embedder.embed_batch([w for _, w in batch])
-        for (p, _), emb in zip(batch, embs):
-            key = sample_key(audio_output_name(os.path.basename(p)))
-            # f16 round-trip: the npy contract stores float16
-            # (voice_extractor.py:95) — quantize identically so this path
-            # equals extract→save→load bit for bit.
-            audio_feats[key] = emb.astype(np.float16).astype(np.float32)
-        batch.clear()
-
-    for p in iter_audio_files(audio_dir):
-        wave = load_waveform(p, embedder.cfg.sample_rate)
-        if wave is None:
-            if verbose:
-                print(f"Failed to load audio: {p}", flush=True)
-            continue
-        batch.append((p, wave))
-        if len(batch) >= audio_batch:
-            aflush()
-    aflush()
+    audio_feats = {
+        # f16 round-trip: the npy contract stores float16
+        # (voice_extractor.py:95) — quantize identically so this path
+        # equals extract→save→load bit for bit.
+        sample_key(audio_output_name(os.path.basename(path))):
+            emb.astype(np.float16).astype(np.float32)
+        for path, emb in iter_audio_embeddings(
+            audio_dir, embedder, audio_batch, verbose)}
 
     # ---- pair by key, label, and hand off to the shared tail -----------
     keys = sorted(set(video_feats) & set(audio_feats))

@@ -245,13 +245,14 @@ def build_fastapi_app(engine: Optional[InferenceEngine] = None):
 
     @app.post("/infer/", status_code=200)
     async def infer(file: UploadFile = File(...), subchunk_size: int = 32,
-                    window_size: int = 5, explain: bool = False):
+                    window_size: int = 5, explain: bool = False,
+                    detect_every: int = 1):
         try:
             data = await file.read()
             results = engine.infer_file_bytes(
                 data, file.filename or "upload.mp4",
                 subchunk_size=subchunk_size, window_size=window_size,
-                explain=explain)
+                explain=explain, detect_every=detect_every)
         except Exception as e:
             raise HTTPException(status_code=500, detail=str(e))
         return JSONResponse(content=results)
@@ -285,8 +286,12 @@ def main():
     if args.warmup:
         resolutions = []
         for part in filter(None, args.warmup_resolutions.split(",")):
-            h, w = part.lower().split("x")
-            resolutions.append((int(h), int(w)))
+            try:
+                h, w = part.lower().strip().split("x")
+                resolutions.append((int(h), int(w)))
+            except ValueError:
+                parser.error(f"--warmup_resolutions entry {part!r} is not "
+                             f"HxW (e.g. '480x640')")
         engine.warmup(resolutions=resolutions)
     serve(engine, args.host, args.port)
 

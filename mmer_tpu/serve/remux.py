@@ -19,6 +19,15 @@ other codecs (Sorenson H.263, VP6, MP3/ADPCM audio) raise
 Format references (public specs): Adobe Video File Format Spec v10 (FLV
 tags), ISO/IEC 14496-12 (MP4 boxes), 14496-15 (avcC), 14496-3 §1.6.2.1
 (AudioSpecificConfig), ITU-T H.264 §7.3.2.1.1 (SPS, for display size).
+
+Known timing simplifications (preview-quality, documented): audio samples
+get constant ``frame_len``-sample deltas in the samplerate timescale
+(exact for gapless CBR AAC — the normal case — but an FLV with dropped
+audio frames or a nonzero initial audio/video DTS offset loses that
+offset; no edit lists are written), single-frame video tracks assume
+25 fps for their one delta, and duplicate video DTS values get 1 ms
+floors.  Uploads are analyzed from the ORIGINAL file server-side either
+way — the remux affects only the browser preview.
 """
 
 from __future__ import annotations
@@ -333,8 +342,10 @@ def _mp4a_entry(asc: bytes, rate: int, channels: int,
              + b"\x00" * 8
              + struct.pack(">HH", channels, 16)
              + b"\x00" * 4
-             + struct.pack(">I", (rate & 0xFFFF) << 16 if rate >= 1 << 16
-                            else rate << 16))
+             # 16.16 fixed field can't hold rates >= 65536 Hz (88.2k/96k
+             # AAC): write 0 so players fall back to the esds ASC instead
+             # of a truncated wrong rate.
+             + struct.pack(">I", 0 if rate >= 1 << 16 else rate << 16))
     return _box(b"mp4a", entry, _esds(asc, avg_bitrate))
 
 
@@ -363,7 +374,11 @@ def _trak(track_id: int, timescale: int, duration: int, mvhd_dur: int,
     stbl = stsd + _stts(deltas)
     if ctts_offsets is not None and any(ctts_offsets):
         stbl += _ctts(ctts_offsets)
-    if keyframes and len(keyframes) < len(sizes):
+    # Omitting stss declares EVERY sample a sync sample (ISO 14496-12),
+    # which is only correct when all frames really are keyframes — an
+    # EMPTY keyframe list must still write an (empty) stss, else players
+    # would seek to arbitrary P-frames.
+    if keyframes is not None and len(keyframes) < len(sizes):
         stbl += _full(b"stss", 0, 0, struct.pack(">I", len(keyframes)),
                       b"".join(struct.pack(">I", k) for k in keyframes))
     stbl += _stbl_common(sizes, offsets)
@@ -432,7 +447,11 @@ def flv_to_mp4(flv: bytes) -> bytes:
             ctts_offsets=[s[1] for s in streams.video]))
 
     if streams.audio:
-        rate, channels, frame_len = parse_audio_specific_config(streams.asc)
+        try:
+            rate, channels, frame_len = parse_audio_specific_config(
+                streams.asc)
+        except IndexError as e:          # truncated/garbage ASC blob
+            raise RemuxError(f"unparseable AAC AudioSpecificConfig: {e}")
         # AAC frames are a fixed frame_len samples; a constant delta in a
         # samplerate timescale avoids FLV's ms-rounding jitter.
         deltas = [frame_len] * len(streams.audio)

@@ -651,8 +651,14 @@ def train_model(data: DatasetArrays, splits: DataSplits,
         data, train_cfg, batch_size, results, best_epoch, hyperparameters,
         confusion, best_params, state.params, verbose)
 
-    best_val_loss = next((r["val_loss"] for r in results
-                          if r["epoch"] == best_epoch), float("inf"))
+    # On a resumed run the best epoch may predate the resume point, so its
+    # row is absent from this process's `results`; with val-loss selection
+    # the tracked best_score IS that epoch's val loss (restored from the
+    # checkpoint), so fall back to it rather than reporting inf.
+    best_val_loss = next(
+        (r["val_loss"] for r in results if r["epoch"] == best_epoch),
+        float(best_score) if train_cfg.best_metric == "val_loss"
+        else float("inf"))
     return TrainOutput(
         best_params=best_params, final_params=state.params, results=results,
         best_epoch=best_epoch, best_val_loss=best_val_loss,
