@@ -306,3 +306,51 @@ def test_remux_http_endpoint():
         assert "detail" in json.loads(ei.value.read())
     finally:
         httpd.shutdown()
+
+
+def test_remux_all_interframes_writes_empty_stss():
+    """A video track with NO keyframes must still carry an (empty) stss —
+    omitting the box declares EVERY sample a sync sample (ISO 14496-12)
+    and players would seek into P-frames."""
+    out = bytearray(b"FLV\x01\x01" + struct.pack(">I", 9)
+                    + b"\x00\x00\x00\x00")
+    out += video_tag(0, make_avcc(make_sps()), True, pkt=0)
+    for i in range(3):
+        out += video_tag(i * 40, nalu(bytes([0x41]) + b"p%d" % i),
+                         keyframe=False)
+    mp4 = flv_to_mp4(bytes(out))
+    boxes = parse_boxes(mp4)
+    stbl = boxes["/moov/trak0/mdia/minf/stbl"]
+    assert table_u32(stbl, b"stss") == []          # present, zero entries
+    # Control: the normal fixture has keyframes 1 and 4.
+    boxes_kf = parse_boxes(flv_to_mp4(make_flv(with_audio=False)))
+    assert table_u32(boxes_kf["/moov/trak0/mdia/minf/stbl"],
+                     b"stss") == [1, 4]
+
+
+def test_mp4a_entry_high_sample_rate_field_is_zero():
+    """88.2k/96k AAC can't fit the 16.16 stsd samplerate field — it must
+    be 0 so players read the esds ASC, not a truncated wrong rate."""
+    from mmer_tpu.serve.remux import _mp4a_entry
+
+    # box header (8) + 6 reserved + 2 dref + 8 reserved + 2 channels +
+    # 2 samplesize + 4 predefined/reserved → samplerate at [32:36].
+    def rate_field(entry: bytes) -> int:
+        return struct.unpack(">I", entry[32:36])[0]
+
+    for rate in (96000, 88200):
+        assert rate_field(_mp4a_entry(AAC_LC_16K_MONO_ASC, rate, 2, 0)) \
+            == 0, rate
+    assert rate_field(_mp4a_entry(AAC_LC_16K_MONO_ASC, 16000, 1, 0)) \
+        == 16000 << 16
+
+
+def test_truncated_asc_raises_remux_error():
+    """A 1-byte AudioSpecificConfig must surface as RemuxError (HTTP 415),
+    not an IndexError 500."""
+    out = bytearray(b"FLV\x01\x04" + struct.pack(">I", 9)
+                    + b"\x00\x00\x00\x00")
+    out += audio_tag(0, b"\x12", pkt=0)            # truncated ASC
+    out += audio_tag(0, AUDIO_SAMPLES[0])
+    with pytest.raises(RemuxError):
+        flv_to_mp4(bytes(out))
