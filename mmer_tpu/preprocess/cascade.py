@@ -109,6 +109,68 @@ class HaarCascade:
                 right_val=np.asarray(r_val, np.float32)))
 
     # ------------------------------------------------------------------
+    def _native(self):
+        """(lib, ctx) for the C++ evaluator (native/cascade_eval.cpp) or
+        None.  Built lazily; any failure falls back to numpy silently —
+        the framework never hard-depends on a compiler at runtime."""
+        if getattr(self, "_native_ctx", None) is not None:
+            return self._native_ctx if self._native_ctx != "failed" else None
+        self._native_ctx = "failed"
+        try:
+            import ctypes
+            import subprocess
+
+            from mmer_tpu.data import native_loader
+
+            lib_path = native_loader._LIB_PATH
+            native_dir = native_loader._NATIVE_DIR
+            lib = None
+            if os.path.exists(lib_path):
+                lib = ctypes.CDLL(lib_path)
+            if lib is None or not hasattr(lib, "cascade_create"):
+                # Missing or stale (pre-cascade) build — rebuild once.
+                subprocess.run(["make", "-C", native_dir, "clean"],
+                               capture_output=True, timeout=30)
+                subprocess.run(["make", "-C", native_dir], check=True,
+                               capture_output=True, timeout=120)
+                lib = ctypes.CDLL(lib_path)
+            lib.cascade_create.restype = ctypes.c_void_p
+            lib.cascade_detect_scaled.restype = ctypes.c_int
+            c_dbl = ctypes.POINTER(ctypes.c_double)
+            c_int = ctypes.POINTER(ctypes.c_int32)
+
+            stage_off = np.cumsum(
+                [0] + [len(s.feature_idx) for s in self.stages]
+            ).astype(np.int32)
+            stage_thr = np.asarray([s.threshold for s in self.stages],
+                                   np.float64)
+            feat_idx = np.concatenate(
+                [s.feature_idx for s in self.stages]).astype(np.int32)
+            node_thr = np.concatenate(
+                [s.node_thresh for s in self.stages]).astype(np.float64)
+            left = np.concatenate(
+                [s.left_val for s in self.stages]).astype(np.float64)
+            right = np.concatenate(
+                [s.right_val for s in self.stages]).astype(np.float64)
+            features = np.ascontiguousarray(self.features, np.float64)
+
+            ctx = lib.cascade_create(
+                self.win_w, self.win_h, len(self.stages),
+                stage_off.ctypes.data_as(c_int),
+                stage_thr.ctypes.data_as(c_dbl),
+                feat_idx.ctypes.data_as(c_int),
+                node_thr.ctypes.data_as(c_dbl),
+                left.ctypes.data_as(c_dbl),
+                right.ctypes.data_as(c_dbl),
+                len(feat_idx), features.shape[0],
+                features.ctypes.data_as(c_dbl))
+            if ctx:
+                self._native_ctx = (lib, ctypes.c_void_p(ctx))
+                return self._native_ctx
+        except Exception:
+            pass
+        return None
+
     def _detect_single_scale(self, sat: np.ndarray, sat2: np.ndarray,
                              stride: int) -> np.ndarray:
         """All surviving window origins at one scale, for a BATCH of frames.
@@ -228,9 +290,40 @@ class HaarCascade:
     def detect(self, gray: np.ndarray, scale_factor: float = 1.2,
                min_neighbors: int = 3, stride: int = 2,
                min_size: int = 48) -> List[Tuple[float, float, float, float, float]]:
-        """→ [(x1, y1, x2, y2, conf)], conf from the neighbor count."""
-        return self.detect_many([gray], scale_factor, min_neighbors, stride,
-                                min_size)[0]
+        """→ [(x1, y1, x2, y2, conf)], conf from the neighbor count.
+
+        Uses the C++ evaluator (native/cascade_eval.cpp) when the shared
+        library builds — same semantics, tight loops instead of numpy
+        gathers — and falls back to the vectorized numpy path otherwise."""
+        native = self._native()
+        if native is None:
+            return self.detect_many([gray], scale_factor, min_neighbors,
+                                    stride, min_size)[0]
+        import ctypes
+
+        import cv2
+
+        lib, ctx = native
+        h, w = gray.shape
+        raw: List[Tuple[int, int, int]] = []
+        cap = ((h // stride) + 2) * ((w // stride) + 2)
+        out = np.empty(2 * cap, np.int32)
+        out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        scale = max(min_size / self.win_w, 1.0)
+        while self.win_w * scale <= min(h, w):
+            sw, sh = int(round(w / scale)), int(round(h / scale))
+            scaled = np.ascontiguousarray(cv2.resize(
+                np.ascontiguousarray(gray, np.float64), (sw, sh),
+                interpolation=cv2.INTER_AREA))
+            n = lib.cascade_detect_scaled(
+                ctx, scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                sh, sw, stride, out_ptr, cap)
+            for i in range(n):
+                raw.append((int(round(out[2 * i] * scale)),
+                            int(round(out[2 * i + 1] * scale)),
+                            int(round(self.win_w * scale))))
+            scale *= scale_factor
+        return _group_rectangles(raw, min_neighbors)
 
 
 def _group_rectangles(raw: List[Tuple[int, int, int]], min_neighbors: int,

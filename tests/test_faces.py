@@ -230,3 +230,33 @@ def test_group_rectangles_matches_union_find_oracle():
                              round(r[2], 6), round(r[3], 6), round(r[4], 9))
             np.testing.assert_allclose(sorted(map(key, got)),
                                        sorted(map(key, want)), atol=1e-9)
+
+
+def test_native_cascade_matches_numpy_path():
+    """The C++ evaluator (native/cascade_eval.cpp) must produce the same
+    grouped boxes as the vectorized numpy path — same scale pyramid, same
+    stump/stage semantics.  Skipped when the shared library can't build."""
+    import cv2
+    from matplotlib import cbook
+    from PIL import Image
+
+    from mmer_tpu.preprocess.cascade import HaarCascade, find_cascade_file
+
+    det = HaarCascade(find_cascade_file())
+    if det._native() is None:
+        pytest.skip("native cascade library unavailable")
+
+    img = np.asarray(Image.open(
+        cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)))
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        size = [(224, 224), (256, 300), (160, 120), (224, 224)][trial]
+        frame = cv2.resize(img, size)
+        jit = np.clip(frame.astype(np.int16)
+                      + rng.integers(-10, 11, frame.shape), 0, 255)
+        gray = cv2.cvtColor(jit.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        native = det.detect(gray)
+        ref = det.detect_many([gray])[0]
+        assert len(native) == len(ref), (trial, native, ref)
+        for a, b in zip(sorted(native), sorted(ref)):
+            np.testing.assert_allclose(a[:4], b[:4], atol=2)
