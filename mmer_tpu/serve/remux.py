@@ -22,12 +22,12 @@ tags), ISO/IEC 14496-12 (MP4 boxes), 14496-15 (avcC), 14496-3 §1.6.2.1
 
 Known timing simplifications (preview-quality, documented): audio samples
 get constant ``frame_len``-sample deltas in the samplerate timescale
-(exact for gapless CBR AAC — the normal case — but an FLV with dropped
-audio frames or a nonzero initial audio/video DTS offset loses that
-offset; no edit lists are written), single-frame video tracks assume
-25 fps for their one delta, and duplicate video DTS values get 1 ms
-floors.  Uploads are analyzed from the ORIGINAL file server-side either
-way — the remux affects only the browser preview.
+(exact for gapless CBR AAC — the normal case; an FLV with dropped audio
+frames mid-stream accumulates drift), a nonzero initial DTS offset
+between tracks is preserved with an empty-edit ``elst``, single-frame
+video tracks assume 25 fps for their one delta, and duplicate video DTS
+values get 1 ms floors.  Uploads are analyzed from the ORIGINAL file
+server-side either way — the remux affects only the browser preview.
 """
 
 from __future__ import annotations
@@ -349,12 +349,26 @@ def _mp4a_entry(asc: bytes, rate: int, channels: int,
     return _box(b"mp4a", entry, _esds(asc, avg_bitrate))
 
 
+def _elst(offset_movie: int, media_dur_movie: int) -> bytes:
+    """Edit list: an empty edit of ``offset_movie`` (movie-timescale) ticks
+    delaying the track start, then the whole media — preserves a nonzero
+    initial DTS offset between FLV tracks (e.g. audio beginning 300 ms
+    after video) instead of silently snapping both tracks to t=0."""
+    entries = [(offset_movie, -1), (media_dur_movie, 0)] \
+        if offset_movie > 0 else [(media_dur_movie, 0)]
+    body = struct.pack(">I", len(entries)) + b"".join(
+        struct.pack(">IiHH", seg_dur, media_time, 1, 0)
+        for seg_dur, media_time in entries)
+    return _box(b"edts", _full(b"elst", 0, 0, body))
+
+
 def _trak(track_id: int, timescale: int, duration: int, mvhd_dur: int,
           handler: bytes, name: bytes, media_header: bytes, stsd_entry: bytes,
           deltas: List[int], sizes: List[int], offsets: List[int],
           width: int = 0, height: int = 0,
           keyframes: Optional[List[int]] = None,
-          ctts_offsets: Optional[List[int]] = None) -> bytes:
+          ctts_offsets: Optional[List[int]] = None,
+          edts: bytes = b"") -> bytes:
     tkhd = _full(b"tkhd", 0, 3,
                  struct.pack(">IIII", 0, 0, track_id, 0),
                  struct.pack(">I", mvhd_dur),
@@ -384,6 +398,8 @@ def _trak(track_id: int, timescale: int, duration: int, mvhd_dur: int,
     stbl += _stbl_common(sizes, offsets)
     minf = _box(b"minf", media_header, dinf, _box(b"stbl", stbl))
     mdia = _box(b"mdia", mdhd, hdlr, minf)
+    if edts:
+        return _box(b"trak", tkhd, edts, mdia)
     return _box(b"trak", tkhd, mdia)
 
 
@@ -426,12 +442,23 @@ def flv_to_mp4(flv: bytes) -> bytes:
     traks = []
     durations_ms = [0]
 
+    # Preserve nonzero initial DTS offsets between tracks (e.g. audio
+    # starting 300 ms after video) with empty-edit lists; within each
+    # track, timing is rebased to its own first sample.
+    firsts = []
+    if streams.video:
+        firsts.append(streams.video[0][0])
+    if streams.audio:
+        firsts.append(streams.audio[0][0])
+    t0 = min(firsts)
+
     if streams.video:
         dts_list = [s[0] for s in streams.video]
         deltas = [max(b - a, 1) for a, b in zip(dts_list, dts_list[1:])]
         deltas.append(deltas[-1] if deltas else 40)
         duration = sum(deltas)
-        durations_ms.append(dts_list[0] + duration)
+        offset_ms = dts_list[0] - t0
+        durations_ms.append(offset_ms + duration)
         sps = _sps_from_avcc(streams.avcc)
         try:
             width, height = parse_sps(sps) if sps else (0, 0)
@@ -444,7 +471,8 @@ def flv_to_mp4(flv: bytes) -> bytes:
             _avc1_entry(streams.avcc, width, height),
             deltas, [len(s[3]) for s in streams.video], video_offsets,
             width=width, height=height, keyframes=keyframes,
-            ctts_offsets=[s[1] for s in streams.video]))
+            ctts_offsets=[s[1] for s in streams.video],
+            edts=_elst(offset_ms, duration) if offset_ms > 0 else b""))
 
     if streams.audio:
         try:
@@ -456,7 +484,9 @@ def flv_to_mp4(flv: bytes) -> bytes:
         # samplerate timescale avoids FLV's ms-rounding jitter.
         deltas = [frame_len] * len(streams.audio)
         duration = frame_len * len(streams.audio)
-        durations_ms.append(int(duration * 1000 / rate))
+        offset_ms = streams.audio[0][0] - t0
+        media_ms = int(duration * 1000 / rate)
+        durations_ms.append(offset_ms + media_ms)
         total_bytes = sum(len(s[1]) for s in streams.audio)
         avg_bitrate = min(int(total_bytes * 8 * rate / max(duration, 1)),
                           2 ** 30)
@@ -464,7 +494,8 @@ def flv_to_mp4(flv: bytes) -> bytes:
             2 if streams.video else 1, rate, duration, durations_ms[-1],
             b"soun", b"mmer_tpu audio remux", _full(b"smhd", 0, 0, b"\x00" * 4),
             _mp4a_entry(streams.asc, rate, channels, avg_bitrate),
-            deltas, [len(s[1]) for s in streams.audio], audio_offsets))
+            deltas, [len(s[1]) for s in streams.audio], audio_offsets,
+            edts=_elst(offset_ms, media_ms) if offset_ms > 0 else b""))
 
     mvhd = _full(b"mvhd", 0, 0,
                  struct.pack(">IIII", 0, 0, movie_ts, max(durations_ms)),

@@ -354,3 +354,38 @@ def test_truncated_asc_raises_remux_error():
     out += audio_tag(0, AUDIO_SAMPLES[0])
     with pytest.raises(RemuxError):
         flv_to_mp4(bytes(out))
+
+
+def test_initial_av_offset_preserved_via_edit_list():
+    """Audio beginning 320 ms after video must produce an audio-track
+    edts/elst with an empty edit of 320 movie-timescale ticks — not a
+    silent snap of both tracks to t=0."""
+    out = bytearray(b"FLV\x01\x05" + struct.pack(">I", 9)
+                    + b"\x00\x00\x00\x00")
+    out += video_tag(0, make_avcc(make_sps()), True, pkt=0)
+    out += audio_tag(0, AAC_LC_16K_MONO_ASC, pkt=0)
+    for i, s in enumerate(VIDEO_SAMPLES):
+        out += video_tag(i * 40, s, s[4] == 0x65)
+    for i, s in enumerate(AUDIO_SAMPLES):
+        out += audio_tag(320 + i * 64, s)
+    boxes = parse_boxes(flv_to_mp4(bytes(out)))
+
+    # Video starts at t0 → no edit list.
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        _leaf(boxes["/moov/trak0"], b"edts")
+
+    elst = _leaf(_leaf(boxes["/moov/trak1"], b"edts"), b"elst")[4:]
+    n = struct.unpack(">I", elst[:4])[0]
+    assert n == 2
+    seg0, mt0, _, _ = struct.unpack(">IiHH", elst[4:16])
+    seg1, mt1, _, _ = struct.unpack(">IiHH", elst[16:28])
+    assert (seg0, mt0) == (320, -1)              # empty edit = delay
+    assert mt1 == 0
+    assert seg1 == len(AUDIO_SAMPLES) * 1024 * 1000 // 16000
+
+    # Symmetric FLV (no offset) still has no edit lists.
+    plain = parse_boxes(flv_to_mp4(make_flv()))
+    for trak in ("trak0", "trak1"):
+        with _pytest.raises(AssertionError):
+            _leaf(plain[f"/moov/{trak}"], b"edts")
