@@ -28,12 +28,18 @@ def _load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and auto_build:
+    if auto_build:
+        # ALWAYS run make BEFORE the first dlopen: make's dependency check
+        # is a ~50 ms no-op when the .so is fresh, and rebuilding a stale
+        # one after loading is useless — glibc caches dlopen by pathname,
+        # so a second CDLL of the same path returns the SAME stale handle.
+        # On failure keep whatever .so exists (never delete a working
+        # artifact; missing symbols degrade to the Python fallbacks).
         try:
             subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            pass
     if not os.path.exists(_LIB_PATH):
         return None
     try:

@@ -59,10 +59,14 @@ class _Stage:
     right_val: np.ndarray      # (W,) float32
 
 
+_NATIVE_CTX_CACHE: dict = {}     # xml_path -> (lib, ctx) | "failed"
+
+
 class HaarCascade:
     """Parsed stump-based cascade + vectorized multi-scale detector."""
 
     def __init__(self, xml_path: str):
+        self._xml_path = os.path.abspath(xml_path)
         root = ET.parse(xml_path).getroot()
         cascade = root.find("cascade")
         if cascade is None:
@@ -112,28 +116,25 @@ class HaarCascade:
     def _native(self):
         """(lib, ctx) for the C++ evaluator (native/cascade_eval.cpp) or
         None.  Built lazily; any failure falls back to numpy silently —
-        the framework never hard-depends on a compiler at runtime."""
-        if getattr(self, "_native_ctx", None) is not None:
-            return self._native_ctx if self._native_ctx != "failed" else None
-        self._native_ctx = "failed"
+        the framework never hard-depends on a compiler at runtime.
+
+        Contexts are cached per cascade XML path (module-level) so
+        constructing many detectors doesn't accumulate C++ allocations.
+        The shared library is (re)built through native_loader, which runs
+        ``make`` BEFORE the first dlopen — rebuilding after a load can't
+        work in-process (glibc caches dlopen by pathname)."""
+        cached = _NATIVE_CTX_CACHE.get(self._xml_path)
+        if cached is not None:
+            return cached if cached != "failed" else None
+        _NATIVE_CTX_CACHE[self._xml_path] = "failed"
         try:
             import ctypes
-            import subprocess
 
             from mmer_tpu.data import native_loader
 
-            lib_path = native_loader._LIB_PATH
-            native_dir = native_loader._NATIVE_DIR
-            lib = None
-            if os.path.exists(lib_path):
-                lib = ctypes.CDLL(lib_path)
+            lib = native_loader._load_library()
             if lib is None or not hasattr(lib, "cascade_create"):
-                # Missing or stale (pre-cascade) build — rebuild once.
-                subprocess.run(["make", "-C", native_dir, "clean"],
-                               capture_output=True, timeout=30)
-                subprocess.run(["make", "-C", native_dir], check=True,
-                               capture_output=True, timeout=120)
-                lib = ctypes.CDLL(lib_path)
+                return None
             lib.cascade_create.restype = ctypes.c_void_p
             lib.cascade_detect_scaled.restype = ctypes.c_int
             c_dbl = ctypes.POINTER(ctypes.c_double)
@@ -165,8 +166,9 @@ class HaarCascade:
                 len(feat_idx), features.shape[0],
                 features.ctypes.data_as(c_dbl))
             if ctx:
-                self._native_ctx = (lib, ctypes.c_void_p(ctx))
-                return self._native_ctx
+                _NATIVE_CTX_CACHE[self._xml_path] = (lib,
+                                                     ctypes.c_void_p(ctx))
+                return _NATIVE_CTX_CACHE[self._xml_path]
         except Exception:
             pass
         return None
@@ -241,6 +243,16 @@ class HaarCascade:
             alive[np.flatnonzero(alive)[stage_sum < stage.threshold]] = False
         return np.stack([fs[alive], xs[alive], ys[alive]], axis=1)
 
+    def _pyramid(self, h: int, w: int, scale_factor: float,
+                 min_size: int):
+        """Yield ``(scale, sw, sh)`` per pyramid level.  ONE owner of the
+        scale seed / bound / rounding rules so the numpy batch path and
+        the native per-frame path stay box-identical by construction."""
+        scale = max(min_size / self.win_w, 1.0)
+        while self.win_w * scale <= min(h, w):
+            yield scale, int(round(w / scale)), int(round(h / scale))
+            scale *= scale_factor
+
     def detect_many(self, grays: List[np.ndarray],
                     scale_factor: float = 1.2, min_neighbors: int = 3,
                     stride: int = 2, min_size: int = 48
@@ -269,9 +281,7 @@ class HaarCascade:
         h, w = grays[0].shape
         raw: List[List[Tuple[int, int, int]]] = [[] for _ in range(n)]
 
-        scale = max(min_size / self.win_w, 1.0)
-        while self.win_w * scale <= min(h, w):
-            sw, sh = int(round(w / scale)), int(round(h / scale))
+        for scale, sw, sh in self._pyramid(h, w, scale_factor, min_size):
             scaled = np.stack([
                 cv2.resize(np.ascontiguousarray(g, np.float64), (sw, sh),
                            interpolation=cv2.INTER_AREA) for g in grays])
@@ -283,7 +293,6 @@ class HaarCascade:
             for f, x, y in self._detect_single_scale(sat, sat2, stride):
                 raw[f].append((int(round(x * scale)), int(round(y * scale)),
                                int(round(self.win_w * scale))))
-            scale *= scale_factor
 
         return [_group_rectangles(r, min_neighbors) for r in raw]
 
@@ -309,12 +318,10 @@ class HaarCascade:
         cap = ((h // stride) + 2) * ((w // stride) + 2)
         out = np.empty(2 * cap, np.int32)
         out_ptr = out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        scale = max(min_size / self.win_w, 1.0)
-        while self.win_w * scale <= min(h, w):
-            sw, sh = int(round(w / scale)), int(round(h / scale))
+        gray64 = np.ascontiguousarray(gray, np.float64)
+        for scale, sw, sh in self._pyramid(h, w, scale_factor, min_size):
             scaled = np.ascontiguousarray(cv2.resize(
-                np.ascontiguousarray(gray, np.float64), (sw, sh),
-                interpolation=cv2.INTER_AREA))
+                gray64, (sw, sh), interpolation=cv2.INTER_AREA))
             n = lib.cascade_detect_scaled(
                 ctx, scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                 sh, sw, stride, out_ptr, cap)
@@ -322,7 +329,6 @@ class HaarCascade:
                 raw.append((int(round(out[2 * i] * scale)),
                             int(round(out[2 * i + 1] * scale)),
                             int(round(self.win_w * scale))))
-            scale *= scale_factor
         return _group_rectangles(raw, min_neighbors)
 
 

@@ -353,9 +353,13 @@ def _elst(offset_movie: int, media_dur_movie: int) -> bytes:
     """Edit list: an empty edit of ``offset_movie`` (movie-timescale) ticks
     delaying the track start, then the whole media — preserves a nonzero
     initial DTS offset between FLV tracks (e.g. audio beginning 300 ms
-    after video) instead of silently snapping both tracks to t=0."""
-    entries = [(offset_movie, -1), (media_dur_movie, 0)] \
-        if offset_movie > 0 else [(media_dur_movie, 0)]
+    after video) instead of silently snapping both tracks to t=0.
+
+    Owns the no-offset rule: returns ``b""`` (write no edts at all) when
+    the offset is zero."""
+    if offset_movie <= 0:
+        return b""
+    entries = [(offset_movie, -1), (media_dur_movie, 0)]
     body = struct.pack(">I", len(entries)) + b"".join(
         struct.pack(">IiHH", seg_dur, media_time, 1, 0)
         for seg_dur, media_time in entries)
@@ -472,7 +476,7 @@ def flv_to_mp4(flv: bytes) -> bytes:
             deltas, [len(s[3]) for s in streams.video], video_offsets,
             width=width, height=height, keyframes=keyframes,
             ctts_offsets=[s[1] for s in streams.video],
-            edts=_elst(offset_ms, duration) if offset_ms > 0 else b""))
+            edts=_elst(offset_ms, duration)))
 
     if streams.audio:
         try:
@@ -495,7 +499,7 @@ def flv_to_mp4(flv: bytes) -> bytes:
             b"soun", b"mmer_tpu audio remux", _full(b"smhd", 0, 0, b"\x00" * 4),
             _mp4a_entry(streams.asc, rate, channels, avg_bitrate),
             deltas, [len(s[1]) for s in streams.audio], audio_offsets,
-            edts=_elst(offset_ms, media_ms) if offset_ms > 0 else b""))
+            edts=_elst(offset_ms, media_ms)))
 
     mvhd = _full(b"mvhd", 0, 0,
                  struct.pack(">IIII", 0, 0, movie_ts, max(durations_ms)),
