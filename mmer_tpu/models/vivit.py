@@ -177,5 +177,9 @@ def init_vivit_params(cfg: Optional[ViViTConfig] = None,
     model = ViViTFeatureExtractor(cfg, use_flash=use_flash)
     dummy = jnp.zeros((1, cfg.num_frames, *cfg.image_size, cfg.in_channels),
                       jnp.float32)
-    params = model.init({"params": jax.random.PRNGKey(cfg.param_seed)}, dummy)
+    # Jitted init: one compiled (and persistently cached) program instead
+    # of eager per-op dispatch — a large cold-start cut through a
+    # high-RTT device link.
+    params = jax.jit(lambda k: model.init({"params": k}, dummy))(
+        jax.random.PRNGKey(cfg.param_seed))
     return model, params

@@ -296,9 +296,13 @@ class AudioEmbedder:
         self._apply_pool = jax.jit(apply_pool)
 
     def _seeded_params(self) -> dict:
+        # Jitted: eager init dispatches hundreds of param ops one by one
+        # (93 s for the large model through this environment's relay);
+        # one compiled program generates all params on device (~3 s warm)
+        # and persists in the XLA compile cache across processes.
         dummy = jnp.zeros((1, self.cfg.sample_rate), jnp.float32)
-        return self.model.init(
-            {"params": jax.random.PRNGKey(self.cfg.param_seed)}, dummy)
+        return jax.jit(lambda k: self.model.init({"params": k}, dummy))(
+            jax.random.PRNGKey(self.cfg.param_seed))
 
     def _bucket_len(self, n: int) -> int:
         step = self.cfg.sample_rate  # 1 s buckets

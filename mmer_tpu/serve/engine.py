@@ -103,13 +103,15 @@ class InferenceEngine:
             from mmer_tpu.train.checkpoint import load_params_msgpack
 
             model = MultimodalEmotionModel(self.model_cfg)
-            rng = jax.random.PRNGKey(0)
             import jax.numpy as jnp
             t = self.model_cfg.max_seq_len - 1
-            params = model.init({"params": rng},
-                                jnp.zeros((1, t, self.model_cfg.video_dim)),
-                                jnp.zeros((1, self.model_cfg.audio_dim)),
-                                jnp.zeros((1, t), bool))
+            # Jitted init (persistently compile-cached): eager per-op
+            # dispatch costs ~50 s through this environment's relay.
+            params = jax.jit(lambda k: model.init(
+                {"params": k},
+                jnp.zeros((1, t, self.model_cfg.video_dim)),
+                jnp.zeros((1, self.model_cfg.audio_dim)),
+                jnp.zeros((1, t), bool)))(jax.random.PRNGKey(0))
             if self.fusion_params_path and os.path.exists(
                     self.fusion_params_path):
                 # Checkpoints store the bare params tree
