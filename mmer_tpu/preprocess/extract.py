@@ -215,6 +215,7 @@ def iter_video_features(input_dir: str,
             return out
 
         budget = max(extractor.device_batch * 4, 32)
+        done = 0
         for path, chunks in decoded:
             if chunks is None:
                 if verbose:
@@ -223,8 +224,17 @@ def iter_video_features(input_dir: str,
             pending.append((path, chunks.shape[0]))
             buffer.append(chunks)
             if sum(c.shape[0] for c in buffer) >= budget:
-                yield from flush()
-        yield from flush()
+                for item in flush():
+                    done += 1
+                    if verbose:
+                        print(f"[{done}/{len(paths)}] {item[0]}",
+                              flush=True)
+                    yield item
+        for item in flush():
+            done += 1
+            if verbose:
+                print(f"[{done}/{len(paths)}] {item[0]}", flush=True)
+            yield item
 
 
 def iter_audio_embeddings(input_dir: str, embedder,

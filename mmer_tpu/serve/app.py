@@ -39,6 +39,13 @@ from mmer_tpu.serve.engine import InferenceEngine
 
 CORS_ORIGINS = {"http://localhost:5173", "http://localhost:3000"}
 
+# Uploads above this are rejected with 413 BEFORE the body is read: the
+# threaded stdlib server buffers each upload in RAM (and /remux then holds
+# FLV + mdat + MP4 copies at once), so an unbounded Content-Length could
+# exhaust host memory.  Override per-server via ``serve(max_upload_bytes=…)``
+# / ``--max_upload_mb``.
+DEFAULT_MAX_UPLOAD_BYTES = 1 << 30      # 1 GiB
+
 
 def parse_multipart(body: bytes, content_type: str) -> Dict[str, Tuple[str, bytes]]:
     """Minimal multipart/form-data parser → {field: (filename, payload)}.
@@ -83,7 +90,8 @@ def _query_bool(q: Dict, key: str, default: bool = False) -> bool:
     return q[key][0].lower() in ("1", "true", "yes", "on")
 
 
-def make_handler(engine: InferenceEngine):
+def make_handler(engine: InferenceEngine,
+                 max_upload_bytes: int = DEFAULT_MAX_UPLOAD_BYTES):
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -121,8 +129,17 @@ def make_handler(engine: InferenceEngine):
                 self._send_json(404, {"detail": "Not Found"})
 
         def _read_upload(self) -> Optional[Tuple[str, bytes]]:
-            """Multipart body → (filename, payload) or None after a 422."""
+            """Multipart body → (filename, payload) or None after a
+            413 (too large) / 422 (missing field) response."""
             length = int(self.headers.get("Content-Length", "0"))
+            if length > max_upload_bytes:
+                # Reject before reading the body so an oversized upload
+                # never materializes in RAM.
+                self._send_json(413, {
+                    "detail": f"upload of {length} bytes exceeds the "
+                              f"{max_upload_bytes}-byte limit"})
+                self.close_connection = True
+                return None
             body = self.rfile.read(length)
             fields = parse_multipart(body,
                                      self.headers.get("Content-Type", ""))
@@ -197,10 +214,13 @@ def make_handler(engine: InferenceEngine):
 
 
 def serve(engine: Optional[InferenceEngine] = None, host: str = "0.0.0.0",
-          port: int = 8000) -> ThreadingHTTPServer:
+          port: int = 8000,
+          max_upload_bytes: int = DEFAULT_MAX_UPLOAD_BYTES
+          ) -> ThreadingHTTPServer:
     """Start the API server (blocking; returns the server if shut down)."""
     engine = engine or InferenceEngine()
-    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(engine, max_upload_bytes))
     print(f"mmer_tpu API listening on {host}:{port}", flush=True)
     try:
         httpd.serve_forever()
@@ -273,6 +293,9 @@ def main():
                         help="norm_stats_*.npz from the training run")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile default-request graphs at startup")
+    parser.add_argument("--max_upload_mb", type=int,
+                        default=DEFAULT_MAX_UPLOAD_BYTES >> 20,
+                        help="reject uploads larger than this with 413")
     parser.add_argument("--warmup_resolutions", default="",
                         help="comma-separated HxW video formats to also "
                              "pre-compile the crop graph for, e.g. "
@@ -293,7 +316,8 @@ def main():
                 parser.error(f"--warmup_resolutions entry {part!r} is not "
                              f"HxW (e.g. '480x640')")
         engine.warmup(resolutions=resolutions)
-    serve(engine, args.host, args.port)
+    serve(engine, args.host, args.port,
+          max_upload_bytes=args.max_upload_mb << 20)
 
 
 if __name__ == "__main__":

@@ -430,10 +430,20 @@ def flv_to_mp4(flv: bytes) -> bytes:
 
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200),
                 b"isomiso2avc1mp41")
+    base = len(ftyp) + 8                  # absolute offset of mdat payload
+    # stco chunk offsets and box sizes are packed as 32-bit '>I'; past
+    # 4 GiB that struct.error would surface as an opaque HTTP 500.  Fail
+    # cleanly BEFORE allocating the interleaved copy (supporting larger
+    # media would need co64 + 64-bit box sizes).
+    total = base + sum(len(s[3]) for s in streams.video) \
+        + sum(len(s[1]) for s in streams.audio)
+    if total >= 1 << 32:
+        raise RemuxError(
+            f"remuxed media is {total} bytes; offsets beyond 4 GiB need "
+            f"co64 boxes, which this copy-remux does not emit")
     mdat_payload = bytearray()
     video_offsets = [0] * len(streams.video)
     audio_offsets = [0] * len(streams.audio)
-    base = len(ftyp) + 8                  # absolute offset of mdat payload
     for _, track, i in order:
         data = streams.video[i][3] if track == 0 else streams.audio[i][1]
         if track == 0:

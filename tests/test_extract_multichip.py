@@ -46,3 +46,42 @@ def test_global_batch_rounds_up_to_mesh_multiple():
     out = ex.embed_chunks(chunks)
     assert out.shape == (3, 64)
     assert np.all(np.isfinite(out))
+
+
+AUDIO_TINY_KW = dict(hidden_dim=64, num_layers=2, num_heads=2, ffn_dim=128,
+                     conv_dims=(32,) * 7, num_conv_pos_embeddings=16,
+                     num_conv_pos_embedding_groups=4,
+                     compute_dtype="float32")
+
+
+def test_sharded_audio_matches_single_device():
+    """The Wav2Vec2 fan-out (VERDICT r2 #1): waveform batches sharded over
+    the data axis must reproduce the single-device embeddings, including
+    the round-up padding path for batches not divisible by the mesh."""
+    from mmer_tpu.config import Wav2Vec2Config
+    from mmer_tpu.models.wav2vec2 import AudioEmbedder
+
+    cfg = Wav2Vec2Config(**AUDIO_TINY_KW)
+    mesh = create_mesh(MeshConfig())
+    single = AudioEmbedder(cfg)
+    sharded = AudioEmbedder(cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    # 13 waveforms: not a mesh multiple -> exercises the pad+slice path.
+    waves = [rng.normal(size=(8000 + 321 * i,)).astype(np.float32)
+             for i in range(13)]
+    want = single.embed_batch(waves)
+    got = sharded.embed_batch(waves)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_measure_extract_scaling_smoke():
+    """The dryrun/bench scaling probe must run end-to-end on the virtual
+    mesh, assert sharded==single internally, and report efficiencies."""
+    from mmer_tpu.parallel.scaling import measure_extract_scaling
+
+    sc = measure_extract_scaling(8, reps=1, per_device_batch=1)
+    assert sc["n_devices"] == 8
+    for modality in ("video", "audio"):
+        assert sc[modality]["max_abs_err"] < 1e-5
+        assert sc[modality]["efficiency"] > 0

@@ -389,3 +389,21 @@ def test_initial_av_offset_preserved_via_edit_list():
     for trak in ("trak0", "trak1"):
         with _pytest.raises(AssertionError):
             _leaf(plain[f"/moov/{trak}"], b"edts")
+
+
+def test_over_4gib_media_raises_remux_error(monkeypatch):
+    """ADVICE r2: media whose mdat would push stco offsets past 2**32 must
+    raise RemuxError (HTTP 415) up front — not struct.error (opaque 500)
+    after allocating a >4 GiB interleave buffer."""
+    import mmer_tpu.serve.remux as remux_mod
+
+    class FakePayload:                     # reports huge len, holds no RAM
+        def __len__(self):
+            return 5 << 30
+
+    streams = remux_mod.FlvStreams(
+        avcc=make_avcc(make_sps()),
+        video=[(0, 0, True, FakePayload())])
+    monkeypatch.setattr(remux_mod, "parse_flv", lambda flv: streams)
+    with pytest.raises(RemuxError, match="4 GiB"):
+        remux_mod.flv_to_mp4(b"unused")

@@ -241,3 +241,27 @@ def test_http_infer_missing_file_is_422(live_server):
         assert False, "expected HTTP error"
     except urllib.error.HTTPError as e:
         assert e.code == 422
+
+
+def test_http_oversized_upload_is_413(engine):
+    """ADVICE r2: a Content-Length above the handler cap must be rejected
+    with 413 before the body is read into memory."""
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(engine, max_upload_bytes=64))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}/infer/"
+        body = b"x" * 1024
+        req = urllib.request.Request(
+            url, data=body, method="POST",
+            headers={"Content-Type": "multipart/form-data; boundary=x"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP error"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+    finally:
+        httpd.shutdown()
