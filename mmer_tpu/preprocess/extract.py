@@ -129,31 +129,86 @@ class VideoFeatureExtractor:
         ``(subchunk_size, H, W, C)`` shape ``engine.warmup(resolutions=…)``
         pre-compiles — regardless of upload length; the ViViT program
         itself always runs at the fixed (device_batch, …) uint8 shape.
+
+        Implemented over :class:`SubchunkStream` — the same code path the
+        serving engine streams uploads through in bounded memory.
         """
-        jnp = self._jnp
-        n = frames_u8.shape[0]
-        sub = subchunk_size
-        n_pad = -(-n // sub) * sub
-        if n_pad > n:
-            frames_u8 = np.concatenate(
-                [frames_u8, np.repeat(frames_u8[-1:], n_pad - n, axis=0)])
-            bboxes = np.concatenate(
-                [bboxes, np.repeat(bboxes[-1:], n_pad - n, axis=0)])
+        stream = SubchunkStream(self, subchunk_size)
+        stream.add(frames_u8, bboxes)
+        return stream.finish()
+
+
+class SubchunkStream:
+    """Incremental frames→subchunk-features accumulator with bounded
+    buffering (VERDICT r2 #6: the engine used to decode a whole upload
+    into host RAM — ~5 GB of RGB for a 10-minute 1080p video — before
+    anything ran; the reference re-reads the file per sequence instead,
+    back-end/app/libs/inference.py:104-144).
+
+    Holds at most ``subchunk_size`` raw frames on the host and up to
+    ``extractor.device_batch`` cropped uint8 subchunks on the DEVICE at a
+    time: each full frame block is cropped/resized on device immediately
+    (one compiled crop graph per video resolution), and each
+    ``device_batch`` group of cropped blocks is flushed through ViViT.
+    Grouping is identical to the one-shot ``embed_cropped_frames`` batch
+    path, so streamed features match it exactly.
+    """
+
+    def __init__(self, extractor: "VideoFeatureExtractor",
+                 subchunk_size: int):
+        self._ex = extractor
+        self._sub = subchunk_size
+        self._frames: List[np.ndarray] = []     # < subchunk_size raw frames
+        self._bboxes: List[np.ndarray] = []
+        self._crops: list = []                  # device uint8 subchunks
+        self._feats: List[np.ndarray] = []
+        self._last: Optional[Tuple[np.ndarray, np.ndarray]] = None
+
+    def add(self, frames_u8: np.ndarray, bboxes: np.ndarray) -> None:
+        """Append (n, H, W, C) uint8 frames with (n, 4) float bboxes."""
+        for i in range(frames_u8.shape[0]):
+            self._frames.append(frames_u8[i])
+            self._bboxes.append(np.asarray(bboxes[i], np.float32))
+            if len(self._frames) == self._sub:
+                self._crop_block()
+        self._last = ((frames_u8[-1], np.asarray(bboxes[-1], np.float32))
+                      if frames_u8.shape[0] else self._last)
+
+    def _crop_block(self) -> None:
         from mmer_tpu.ops.image import crop_resize_batch
 
-        out_hw = tuple(self.cfg.image_size)
-        chunk_list = []
-        for s in range(0, n_pad, sub):
-            crops = crop_resize_batch(jnp.asarray(frames_u8[s:s + sub]),
-                                      jnp.asarray(bboxes[s:s + sub],
-                                                  jnp.float32),
-                                      out_hw=out_hw)
-            # Truncating uint8 quantization — bit-matches the old host
-            # path ((crops/255*255).astype(uint8)); _embed re-normalizes
-            # on device.
-            chunk_list.append(jnp.clip(crops, 0, 255).astype(jnp.uint8))
-        chunks = jnp.stack(chunk_list)      # (n_sub, sub, H, W, C), device
-        return self.embed_chunks(chunks)
+        jnp = self._ex._jnp
+        crops = crop_resize_batch(
+            jnp.asarray(np.stack(self._frames)),
+            jnp.asarray(np.stack(self._bboxes), jnp.float32),
+            out_hw=tuple(self._ex.cfg.image_size))
+        # Truncating uint8 quantization — bit-matches the old host path
+        # ((crops/255*255).astype(uint8)); _embed re-normalizes on device.
+        self._crops.append(jnp.clip(crops, 0, 255).astype(jnp.uint8))
+        self._frames.clear()
+        self._bboxes.clear()
+        if len(self._crops) == self._ex.device_batch:
+            self._flush_crops()
+
+    def _flush_crops(self) -> None:
+        if self._crops:
+            jnp = self._ex._jnp
+            feats = self._ex.embed_chunks(jnp.stack(self._crops))
+            self._feats.append(np.asarray(feats))
+            self._crops.clear()
+
+    def finish(self) -> np.ndarray:
+        """Pad + flush the remainder; → (n_subchunks, dim) float32."""
+        if self._frames and self._last is not None:
+            frame, bbox = self._last
+            while len(self._frames) < self._sub:
+                self._frames.append(frame)
+                self._bboxes.append(bbox)
+            self._crop_block()
+        self._flush_crops()
+        if not self._feats:
+            return np.zeros((0, self._ex.cfg.dim), np.float32)
+        return np.concatenate(self._feats)
 
 
 def iter_video_features(input_dir: str,

