@@ -78,6 +78,48 @@ class HaarFaceDetector:
             grays, scale_factor=self.scale_factor,
             min_neighbors=self.min_neighbors, min_size=self.min_size)
 
+    def detect_near(self, frame_rgb: np.ndarray,
+                    prior: Tuple[float, float, float, float],
+                    expand: float = 0.75, iou_gate: float = 0.25
+                    ) -> Optional[Tuple[float, float, float, float, float]]:
+        """Relaxed re-detection with a tracking prior (VERDICT r2 #6).
+
+        On frames where the full-strength pass misses, re-run the cascade
+        only in an ``expand``-grown region around the last confirmed box,
+        with ``min_neighbors=1`` and a min size scaled to the prior — and
+        accept a candidate only if it overlaps the prior (IoU ≥
+        ``iou_gate``).  The prior gate is what keeps the relaxation from
+        inventing faces: with no prior there is no relaxed pass at all, so
+        the no-face false-positive behavior is unchanged.
+        """
+        import cv2
+
+        x1, y1, x2, y2 = prior
+        bw, bh = x2 - x1, y2 - y1
+        fh, fw = frame_rgb.shape[:2]
+        ex1 = max(int(x1 - expand * bw), 0)
+        ey1 = max(int(y1 - expand * bh), 0)
+        ex2 = min(int(x2 + expand * bw), fw)
+        ey2 = min(int(y2 + expand * bh), fh)
+        if ex2 - ex1 < 24 or ey2 - ey1 < 24:
+            return None
+        gray = cv2.cvtColor(frame_rgb[ey1:ey2, ex1:ex2], cv2.COLOR_RGB2GRAY)
+        dets = self._cascade.detect(
+            gray, scale_factor=self.scale_factor, min_neighbors=1,
+            min_size=max(24, int(0.6 * min(bw, bh))))
+        best, best_iou = None, iou_gate
+        for (dx1, dy1, dx2, dy2, conf) in dets:
+            cand = (dx1 + ex1, dy1 + ey1, dx2 + ex1, dy2 + ey1)
+            ix1, iy1 = max(cand[0], x1), max(cand[1], y1)
+            ix2, iy2 = min(cand[2], x2), min(cand[3], y2)
+            inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+            union = (bw * bh + (cand[2] - cand[0]) * (cand[3] - cand[1])
+                     - inter)
+            v = inter / max(union, 1e-9)
+            if v >= best_iou:
+                best, best_iou = (*cand, conf), v
+        return best
+
 
 class YoloFaceDetector:
     """YOLO face detector (the reference's backend,
@@ -116,27 +158,90 @@ def default_detector():
 # ---------------------------------------------------------------------------
 
 def extract_video_bboxes(video_path: str, detector=None,
-                         conf_threshold: float = 0.5) -> List[BBox]:
+                         conf_threshold: float = 0.5,
+                         temporal: bool = True,
+                         max_gap: int = 10,
+                         max_relaxed_chain: int = 15) -> List[BBox]:
     """Per-frame detection → [(frame, x1, y1, x2, y2, conf)], best box per
     frame above threshold (reference keeps every detection ≥ conf;
-    cremad_extract_bboxes.py:39-47)."""
+    cremad_extract_bboxes.py:39-47).
+
+    ``temporal`` (VERDICT r2 #6) adds two recovery stages for frames the
+    full-strength pass misses, closing the hit-rate gap to the reference's
+    YOLO detector without inventing faces:
+
+    1. **Tracking-prior re-detection**: re-run the cascade with relaxed
+       ``min_neighbors`` only in a region around the last confirmed box,
+       gated by IoU against it (``HaarFaceDetector.detect_near``).  At most
+       ``max_relaxed_chain`` consecutive relaxed hits before requiring a
+       full-strength detection again (bounds drift).
+    2. **Gap interpolation**: remaining gaps of ≤ ``max_gap`` frames
+       between two confirmed boxes are filled by linear interpolation,
+       written with the flanking boxes' min confidence.
+
+    Both stages require an anchoring real detection, so a no-face video
+    still produces zero rows (measured: 0 FP on the reference's color-bar
+    test pattern, scripts/score_detector.py).
+    """
     import cv2
 
     detector = detector or default_detector()
     cap = cv2.VideoCapture(video_path)
     rows: List[BBox] = []
+    anchor_frames: List[int] = []      # frames with a (real/relaxed) box
+    prior: Optional[Tuple[float, float, float, float]] = None
+    prior_frame = -1
+    relaxed_chain = 0
     frame_idx = 0
     while True:
         ok, frame = cap.read()
         if not ok:
             break
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-        for (x1, y1, x2, y2, conf) in detector.detect(rgb):
-            if conf >= conf_threshold:
-                rows.append((frame_idx, x1, y1, x2, y2, conf))
+        dets = [d for d in detector.detect(rgb) if d[4] >= conf_threshold]
+        if dets:
+            rows.extend((frame_idx, *d) for d in dets)
+            best = max(dets, key=lambda d: d[4])
+            prior, prior_frame, relaxed_chain = best[:4], frame_idx, 0
+            anchor_frames.append(frame_idx)
+        elif (temporal and prior is not None
+                and frame_idx - prior_frame <= max_gap
+                and relaxed_chain < max_relaxed_chain
+                and hasattr(detector, "detect_near")):
+            d = detector.detect_near(rgb, prior)
+            if d is not None:
+                rows.append((frame_idx, *d))
+                prior, prior_frame = d[:4], frame_idx
+                relaxed_chain += 1
+                anchor_frames.append(frame_idx)
         frame_idx += 1
     cap.release()
+
+    if temporal and anchor_frames:
+        rows.extend(_interpolate_gaps(rows, anchor_frames, max_gap))
+        rows.sort(key=lambda r: r[0])
     return rows
+
+
+def _interpolate_gaps(rows: Sequence[BBox], anchor_frames: Sequence[int],
+                      max_gap: int) -> List[BBox]:
+    """Linear bbox interpolation across ≤ ``max_gap``-frame holes between
+    anchored detections; conf = flanking boxes' min."""
+    best = {}
+    for frame, x1, y1, x2, y2, conf in rows:
+        if frame not in best or conf > best[frame][4]:
+            best[frame] = (x1, y1, x2, y2, conf)
+    out: List[BBox] = []
+    for lo, hi in zip(anchor_frames, anchor_frames[1:]):
+        if hi - lo <= 1 or hi - lo > max_gap:
+            continue
+        a, b = np.asarray(best[lo]), np.asarray(best[hi])
+        for f in range(lo + 1, hi):
+            t = (f - lo) / (hi - lo)
+            x1, y1, x2, y2 = (1 - t) * a[:4] + t * b[:4]
+            out.append((f, float(x1), float(y1), float(x2), float(y2),
+                        float(min(a[4], b[4]))))
+    return out
 
 
 def write_bboxes_txt(path: str, rows: Sequence[BBox]) -> None:

@@ -94,12 +94,32 @@ def score_video(video_path: str, detector=None,
         n += 1
     cap.release()
 
+    # Temporal pipeline (prior-gated relaxed re-detection + gap
+    # interpolation — the prep bbox extractor's production path,
+    # VERDICT r2 #6): hit rate over all frames plus sequence stability
+    # (mean |center delta| between consecutive covered frames — smooth
+    # tracks move a few px/frame; flicker shows up as large jumps).
+    from mmer_tpu.preprocess.faces import (best_bbox_per_frame,
+                                           extract_video_bboxes)
+    rows = extract_video_bboxes(video_path, detector, temporal=True)
+    per = best_bbox_per_frame(rows)
+    deltas = []
+    for f in sorted(per):
+        if f - 1 in per:
+            a, b = np.asarray(per[f - 1]), np.asarray(per[f])
+            ca = ((a[0] + a[2]) / 2, (a[1] + a[3]) / 2)
+            cb = ((b[0] + b[2]) / 2, (b[1] + b[3]) / 2)
+            deltas.append(float(np.hypot(cb[0] - ca[0], cb[1] - ca[1])))
+
     out = {
         "video": video_path,
         "frames": n,
         "detection_rate": detected / max(n, 1),
         "center_std_px": (np.asarray(centers).std(axis=0).tolist()
                           if len(centers) > 1 else None),
+        "temporal_hit_rate": len(per) / max(n, 1),
+        "temporal_mean_step_px": (float(np.mean(deltas)) if deltas
+                                  else None),
     }
     if gt is not None:
         out.update({

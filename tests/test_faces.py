@@ -273,3 +273,48 @@ def test_native_cascade_matches_numpy_path():
 
         for a in native:
             assert any(iou(a, b) > 0.8 for b in ref), (trial, a, ref)
+
+
+def test_interpolate_gaps_fills_short_holes_only():
+    """Temporal stage 2 (VERDICT r2 #6): ≤ max_gap holes between anchors
+    are linearly interpolated at the flanking min confidence; longer holes
+    stay empty."""
+    from mmer_tpu.preprocess.faces import _interpolate_gaps
+
+    rows = [(0, 0.0, 0.0, 10.0, 10.0, 0.9),
+            (4, 8.0, 4.0, 18.0, 14.0, 0.7),
+            (30, 0.0, 0.0, 10.0, 10.0, 0.9)]   # 26-frame hole: too long
+    out = _interpolate_gaps(rows, [0, 4, 30], max_gap=10)
+    assert sorted(r[0] for r in out) == [1, 2, 3]
+    mid = next(r for r in out if r[0] == 2)
+    np.testing.assert_allclose(mid[1:5], (4.0, 2.0, 14.0, 12.0))
+    assert mid[5] == pytest.approx(0.7)        # min of flanking confs
+    assert not any(r[0] > 4 for r in out)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_FACE_VIDEO),
+                    reason="reference test video not present")
+def test_temporal_extractor_hit_rate_on_reference_face_video():
+    """VERDICT r2 #6 acceptance: ≥95% frame coverage on the shipped
+    real-face clip with a smooth track (per-frame center steps of a real
+    talking head are a few px)."""
+    pytest.importorskip("cv2")
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "scripts"))
+    from score_detector import score_video
+
+    res = score_video(REF_FACE_VIDEO)
+    assert res["temporal_hit_rate"] >= 0.95, res
+    assert res["temporal_mean_step_px"] < 8.0, res
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PATTERN_VIDEO),
+                    reason="reference test video not present")
+def test_temporal_extractor_zero_fp_on_test_pattern():
+    """The relaxed/interpolating stages are anchored on real detections, so
+    the no-face pattern must still yield ZERO boxes."""
+    pytest.importorskip("cv2")
+    from mmer_tpu.preprocess.faces import extract_video_bboxes
+
+    assert extract_video_bboxes(REF_PATTERN_VIDEO, temporal=True) == []
