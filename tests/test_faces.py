@@ -63,10 +63,13 @@ def test_write_face_video(tmp_path):
     cap.release()
 
 
-def test_detect_many_equals_per_frame():
-    """Batched detection must give exactly the per-frame results."""
+def test_numpy_engine_equals_per_frame_detect():
+    """The vectorized numpy cascade engine (the native path's fallback and
+    testing oracle, cascade.HaarCascade.detect_many) must give exactly the
+    per-frame ``detect`` results."""
     pytest.importorskip("cv2")
     pytest.importorskip("matplotlib")
+    import cv2
     from matplotlib import cbook
     from PIL import Image
 
@@ -81,7 +84,10 @@ def test_detect_many_equals_per_frame():
                       255).astype(np.uint8),
               (rng.random(img.shape) * 255).astype(np.uint8)]
     det = HaarFaceDetector()
-    batched = det.detect_many(frames)
+    grays = [cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames]
+    batched = det._cascade.detect_many(
+        grays, scale_factor=det.scale_factor,
+        min_neighbors=det.min_neighbors, min_size=det.min_size)
     solo = [det.detect(f) for f in frames]
     assert batched == solo
     assert batched[0], "face missing in portrait"
