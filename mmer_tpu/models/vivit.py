@@ -76,10 +76,19 @@ class TubeletEmbed(nn.Module):
 
 
 class PreNormBlock(nn.Module):
-    """x = x + Attn(LN(x)); x = x + FFN(LN(x)) (video_extractor.py:66-80)."""
+    """x = x + Attn(LN(x)); x = x + FFN(LN(x)) (video_extractor.py:66-80).
+
+    ``fused_blocks`` routes the two sublayers through the Pallas kernels in
+    ops/fused_blocks.py (LN fused into the QKV GEMM; the whole
+    LN→GEMM→GELU→GEMM→residual FFN in one VMEM-resident program — the
+    (B, S, mlp_dim) hidden tensor never touches HBM).  Param creation
+    always runs the module path, so the param tree, init rngs, and
+    persisted checkpoints are identical for both routes.
+    """
 
     cfg: ViViTConfig
     use_flash: bool = True
+    fused_blocks: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,14 +97,21 @@ class PreNormBlock(nn.Module):
         h, hd = cfg.heads, cfg.dim_head
         inner = h * hd
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        qkv = nn.Dense(3 * inner, use_bias=False, dtype=dt,
-                       param_dtype=jnp.float32, name="to_qkv")(y.astype(dt))
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        fused = self.fused_blocks and not self.is_initializing()
 
         def heads_first(z):
             b, s, _ = z.shape
             return z.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+
+        # LN+QKV stays on the XLA path in BOTH routes: a Pallas LN→GEMM
+        # kernel (ops/fused_blocks.fused_ln_matmul) measured 1.80 ms/layer
+        # vs XLA's 1.44 at the production shape — XLA already fuses the
+        # normalize into the GEMM pipeline here (scripts/
+        # profile_fused_blocks.py; negative result, kept for the record).
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        qkv = nn.Dense(3 * inner, use_bias=False, dtype=dt,
+                       param_dtype=jnp.float32, name="to_qkv")(y.astype(dt))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
         attn = flash_attention(q, k, v) if self.use_flash else \
@@ -105,6 +121,19 @@ class PreNormBlock(nn.Module):
         attn = nn.Dense(cfg.dim, use_bias=False, dtype=dt,
                         param_dtype=jnp.float32, name="to_out")(attn)
         x = x + attn.astype(x.dtype)
+
+        if fused:
+            # The FFN sublayer is where the Pallas kernel wins (3.20 vs
+            # 3.73 ms/layer): the (B, S, mlp_dim) hidden tensor never
+            # touches HBM.
+            from mmer_tpu.ops.fused_blocks import fused_ffn
+
+            p = self.variables["params"]
+            return fused_ffn(x, p["norm2"]["scale"], p["norm2"]["bias"],
+                             p["ffn_in"]["kernel"].astype(dt),
+                             p["ffn_in"]["bias"],
+                             p["ffn_out"]["kernel"].astype(dt),
+                             p["ffn_out"]["bias"])
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         y = nn.Dense(cfg.mlp_dim, dtype=dt, param_dtype=jnp.float32,
@@ -129,6 +158,9 @@ class ViViTFeatureExtractor(nn.Module):
     cfg: ViViTConfig
     use_flash: bool = True
     remat: bool = False
+    # None → follow use_flash (both are the production TPU path; CPU tests
+    # exercise the kernels via interpret mode explicitly).
+    fused_blocks: Optional[bool] = None
 
     @nn.compact
     def __call__(self, video: jnp.ndarray) -> jnp.ndarray:
@@ -157,10 +189,13 @@ class ViViTFeatureExtractor(nn.Module):
                          (1, max_tokens, d), jnp.float32)
         x = x + pos[:, :n, :].astype(x.dtype)
 
+        fused = self.use_flash if self.fused_blocks is None \
+            else self.fused_blocks
         block = nn.remat(PreNormBlock) \
             if self.remat and not self.is_initializing() else PreNormBlock
         for i in range(cfg.depth):
-            x = block(cfg, use_flash=self.use_flash, name=f"block_{i}")(x)
+            x = block(cfg, use_flash=self.use_flash, fused_blocks=fused,
+                      name=f"block_{i}")(x)
 
         if cfg.pool == "cls":
             feats = x[:, 0]
