@@ -56,8 +56,9 @@ export default function App() {
       if (f) {
         setPreviewUrl(URL.createObjectURL(f));
         // The reference transcodes FLV in-browser via ffmpeg.wasm; here the
-        // backend copy-remuxes H.264/AAC FLVs to MP4 (POST /remux/) so the
-        // player previews real MP4 bytes. Non-remuxable codecs → notice.
+        // backend converts (POST /remux/): H.264+AAC/MP3 by byte copy,
+        // other video codecs via cv2 mp4v transcode. Notice only when
+        // both routes fail (415).
         if (await isFlv(f)) {
           const mp4 = await remuxFlv(f);
           if (token !== pickRef.current) return; // stale pick — drop it

@@ -55,12 +55,14 @@ export async function inferVideo(
 }
 
 // FLV uploads: the reference transcodes FLV→MP4 in-browser with ffmpeg.wasm
-// before playback (reference VideoPlayer.tsx:389-441).  This build keeps the
-// wasm bundle out of the critical path: the backend remuxes H.264/AAC FLVs
-// to MP4 in pure Python (POST /remux/, serve/remux.py — a byte copy, no
-// transcode) and the player previews the returned MP4.  FLVs with other
-// codecs come back 415 and the player shows a notice instead; inference
-// always runs server-side regardless.
+// through a copy→libx264→mpeg4 fallback chain (reference
+// VideoPlayer.tsx:336-441).  This build keeps the wasm bundle out of the
+// critical path and mirrors the chain server-side (POST /remux/):
+// H.264 + AAC/MP3 FLVs are byte-copied into MP4 (serve/remux.py); other
+// video codecs (Sorenson/FLV1, VP6) get a cv2 mp4v transcode with the
+// audio track still byte-copied when it is AAC/MP3 (serve/transcode.py).
+// Only when both routes fail does the backend answer 415 and the player
+// show a notice; inference always runs server-side regardless.
 export function isFlv(file: File): Promise<boolean> {
   return file
     .slice(0, 3)

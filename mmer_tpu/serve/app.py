@@ -6,11 +6,14 @@ Routes (reference back-end/app/main.py, routers/ping.py, routers/infer.py):
 - ``POST /infer/?subchunk_size=32&window_size=5&explain=false`` with a
   multipart ``file`` field → ``{"bounding_box": [...], "inference": [...]}``;
   500 + ``{"detail": ...}`` on processing errors.
-- ``POST /remux/`` with a multipart ``file`` field holding an H.264/AAC FLV
-  → the same media remuxed into ``video/mp4`` (serve/remux.py, pure
-  Python).  Replaces the reference's in-browser ffmpeg.wasm FLV→MP4
-  conversion (front-end VideoPlayer.tsx:389-441) with a backend copy-remux;
-  415 + ``{"detail": ...}`` for FLVs that would need a real transcode.
+- ``POST /remux/`` with a multipart ``file`` field holding an FLV → the
+  same media as ``video/mp4``.  H.264 + AAC/MP3 FLVs are byte-copied
+  (serve/remux.py, pure Python); other video codecs fall back to a cv2
+  ``mp4v`` transcode with the audio track still byte-copied when
+  possible (serve/transcode.py) — the server-side mirror of the
+  reference's in-browser ffmpeg.wasm copy→libx264→mpeg4 chain
+  (front-end VideoPlayer.tsx:336-441); 415 + ``{"detail": ...}`` only
+  when both routes fail.
 
 Why not FastAPI: this deployment image has no fastapi/uvicorn/starlette, so
 the server is a threaded stdlib ``http.server`` with a small multipart
@@ -149,14 +152,15 @@ def make_handler(engine: InferenceEngine,
             return fields["file"]
 
         def _do_remux(self) -> None:
-            from mmer_tpu.serve.remux import RemuxError, flv_to_mp4
+            from mmer_tpu.serve.remux import RemuxError
+            from mmer_tpu.serve.transcode import flv_preview_mp4
 
             upload = self._read_upload()
             if upload is None:
                 return
             filename, payload = upload
             try:
-                mp4 = flv_to_mp4(payload)
+                mp4, mode = flv_preview_mp4(payload)
             except RemuxError as e:
                 self._send_json(415, {"detail": str(e)})
                 return
@@ -170,7 +174,7 @@ def make_handler(engine: InferenceEngine,
             self.end_headers()
             self.wfile.write(mp4)
             print(f"/remux: {filename} ({len(payload)} B FLV → "
-                  f"{len(mp4)} B MP4)", flush=True)
+                  f"{len(mp4)} B MP4, {mode})", flush=True)
 
         def do_POST(self):
             url = urlparse(self.path)
@@ -254,11 +258,12 @@ def build_fastapi_app(engine: Optional[InferenceEngine] = None):
     async def remux(file: UploadFile = File(...)):
         from fastapi.responses import Response
 
-        from mmer_tpu.serve.remux import RemuxError, flv_to_mp4
+        from mmer_tpu.serve.remux import RemuxError
+        from mmer_tpu.serve.transcode import flv_preview_mp4
 
         data = await file.read()
         try:
-            mp4 = flv_to_mp4(data)
+            mp4, _ = flv_preview_mp4(data)
         except RemuxError as e:
             raise HTTPException(status_code=415, detail=str(e))
         return Response(content=mp4, media_type="video/mp4")
@@ -293,6 +298,11 @@ def main():
                         help="norm_stats_*.npz from the training run")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile default-request graphs at startup")
+    parser.add_argument("--vivit_flash", action="store_true",
+                        help="use the Pallas (flash-attn + fused-FFN) "
+                             "ViViT in serving: ~9 ms faster per request "
+                             "but restarts re-pay a multi-minute Mosaic "
+                             "compile (its cache key is process-unstable)")
     parser.add_argument("--max_upload_mb", type=int,
                         default=DEFAULT_MAX_UPLOAD_BYTES >> 20,
                         help="reject uploads larger than this with 413")
@@ -305,7 +315,8 @@ def main():
     engine = InferenceEngine(fusion_params_path=args.fusion_params,
                              vivit_params_path=args.vivit_params,
                              wav_params_path=args.wav_params,
-                             norm_stats_path=args.norm_stats)
+                             norm_stats_path=args.norm_stats,
+                             vivit_use_flash=args.vivit_flash)
     if args.warmup:
         resolutions = []
         for part in filter(None, args.warmup_resolutions.split(",")):

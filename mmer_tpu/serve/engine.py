@@ -48,7 +48,8 @@ class InferenceEngine:
                  detector=None,
                  norm_stats: Optional[dict] = None,
                  norm_stats_path: Optional[str] = None,
-                 labels: Sequence[str] = LABELS):
+                 labels: Sequence[str] = LABELS,
+                 vivit_use_flash: bool = False):
         self.model_cfg = model_cfg or ModelConfig()
         self.vivit_cfg = vivit_cfg or ViViTConfig()
         self.wav_cfg = wav_cfg or Wav2Vec2Config()
@@ -64,6 +65,19 @@ class InferenceEngine:
             with np.load(norm_stats_path) as z:
                 norm_stats = {k: z[k] for k in z.files}
         self.norm_stats = norm_stats or {}
+        # Serving runs the ViViT on the pure-XLA path by default
+        # (VERDICT r2 #5 measurements): the FIRST-EVER server start on a
+        # machine compiles every graph, and the Pallas (flash-attn +
+        # fused-FFN) ViViT's Mosaic compile is ~700 s vs ~50 s for the XLA
+        # variant; per-request the difference is ~9 ms on a
+        # detection-bound ~1.15 s p50.  WARM restarts are the same either
+        # way — both hit the persistent compile cache (verified: no new
+        # cache entry is written on restart) and are dominated by this
+        # environment's per-process relay session-open tax (see
+        # ``warmup``).  Extraction keeps the fused Pallas path, where one
+        # compile amortizes over thousands of clips and the 97 vs 145 ms
+        # per batch matters.
+        self.vivit_use_flash = vivit_use_flash
         self._detector = detector
         self._video_extractor = None
         self._audio_embedder = None
@@ -83,7 +97,8 @@ class InferenceEngine:
         if self._video_extractor is None:
             from mmer_tpu.preprocess.extract import VideoFeatureExtractor
             self._video_extractor = VideoFeatureExtractor(
-                self.vivit_cfg, params_path=self.vivit_params_path)
+                self.vivit_cfg, params_path=self.vivit_params_path,
+                use_flash=self.vivit_use_flash)
         return self._video_extractor
 
     @property
@@ -325,7 +340,30 @@ class InferenceEngine:
         compile (~measured 17 s first-request vs 7 s steady on this
         environment's relay).  Pass your expected camera formats, e.g.
         ``[(480, 640), (720, 1280)]``."""
+        import time
+
         import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        t_start = time.time()
+        phases: List[Tuple[str, float]] = []
+
+        def phase(name):
+            phases.append((name, time.time()))
+
+        # Pay the per-process device-session cost FIRST, in its own
+        # labeled phase: through this environment's tunneled chip the
+        # first REAL host<->device round-trip of a process costs
+        # 50-400 s (measured with a trivial 2-layer model: 134-310 s
+        # before any big graph ever ran; `block_until_ready` alone does
+        # NOT force it).  On a directly-attached TPU this is sub-second.
+        # Separating it keeps the rest of the breakdown honest: the
+        # framework's own warm-restart work measures ~25 s.
+        np.asarray(jnp.zeros((8, 128)) + 1.0)
+        phase("device session open (per-process relay tax; ~0 on "
+              "directly-attached TPUs)")
 
         max_tokens = self.model_cfg.max_seq_len - 1
         window_size = min(window_size, max_tokens)
@@ -334,27 +372,45 @@ class InferenceEngine:
         # here would compile a graph the first real upload never hits.
         chunks = np.zeros((1, subchunk_size, *self.vivit_cfg.image_size, 3),
                           np.uint8)
+        _ = self.video_extractor                 # params init (jitted)
+        phase("vivit params init")
         sub_feats = self.video_extractor.embed_chunks(chunks)
+        phase("vivit forward graph")
         for h, w in resolutions:
             frames = np.zeros((subchunk_size, h, w, 3), np.uint8)
             bboxes = np.tile(np.asarray([0, 0, w, h], np.float32),
                              (subchunk_size, 1))
             self.video_extractor.embed_cropped_frames(frames, bboxes,
                                                       subchunk_size)
+            phase(f"crop graph {h}x{w}")
+        _ = self.audio_embedder                  # w2v2-large params init
+        phase("w2v2 params init")
         self.audio_embedder.embed_batch(
             [np.zeros(self.wav_cfg.sample_rate, np.float32)])
+        phase("w2v2 forward graph (1s bucket)")
         _, params, apply = self.fusion
+        phase("fusion params init+load")
         for wl in range(1, window_size + 1):
             video_w = np.tile(sub_feats[:1][None], (1, wl, 1)
                               ).reshape(1, wl, -1)
             audio_w = np.zeros((1, self.model_cfg.audio_dim), np.float32)
             mask = np.zeros((1, wl), bool)
-            apply(params, video_w, audio_w, mask)
+            import jax
+            jax.block_until_ready(apply(params, video_w, audio_w, mask))
+            phase(f"fusion graph wl={wl}")
             if explain:
                 from mmer_tpu.interpret import compute_attributions
-                compute_attributions(self.fusion_logits_fn, params,
-                                     video_w, audio_w, mask)
-        print("engine warmup complete", flush=True)
+                jax.block_until_ready(compute_attributions(
+                    self.fusion_logits_fn, params, video_w, audio_w, mask))
+                phase(f"IG graph wl={wl}")
+        # Startup-phase breakdown (VERDICT r2 #5): where a restart's
+        # wall-clock actually goes, phase by phase.
+        prev = t_start
+        for name, t in phases:
+            print(f"warmup {t - prev:7.1f}s  {name}", flush=True)
+            prev = t
+        print(f"engine warmup complete in {time.time() - t_start:.1f}s",
+              flush=True)
 
     def predict_clip(self, video_path: str, subchunk_size: int = 32,
                      top_k: int = 3) -> Optional[Dict]:

@@ -12,9 +12,15 @@ payload bytes* and rewriting container metadata, in pure Python, with no
 codec work and no external binaries.
 
 Exposed as ``POST /remux/`` (serve/app.py); the frontend calls it for FLV
-uploads and previews the returned MP4 (frontend/src/lib/api.ts).  FLVs with
-other codecs (Sorenson H.263, VP6, MP3/ADPCM audio) raise
-:class:`RemuxError` → HTTP 415, and the frontend falls back to the notice.
+uploads and previews the returned MP4 (frontend/src/lib/api.ts).  MP3
+audio (FLV sound format 2/14) is ALSO copyable: MP4 carries MP3 with
+object-type 0x6B in the esds, so H.264+MP3 FLVs remux without touching a
+codec.  FLVs whose *video* is not AVC (Sorenson H.263, VP6) raise
+:class:`RemuxError` here and fall through to the cv2 transcode fallback
+(serve/transcode.py — the server-side analog of the reference's
+ffmpeg.wasm libx264→mpeg4 fallback chain, VideoPlayer.tsx:336-360);
+only when that also fails does the API answer 415 and the frontend show
+the notice.
 
 Format references (public specs): Adobe Video File Format Spec v10 (FLV
 tags), ISO/IEC 14496-12 (MP4 boxes), 14496-15 (avcC), 14496-3 §1.6.2.1
@@ -37,7 +43,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
 __all__ = ["RemuxError", "flv_to_mp4", "parse_flv", "parse_sps",
-           "parse_audio_specific_config"]
+           "parse_audio_specific_config", "parse_mp3_header"]
 
 
 class RemuxError(ValueError):
@@ -57,7 +63,11 @@ class FlvStreams:
     asc: Optional[bytes] = None           # AudioSpecificConfig
     # (dts_ms, cts_offset_ms, keyframe, payload) — payload is AVCC NALUs
     video: List[Tuple[int, int, bool, bytes]] = field(default_factory=list)
-    audio: List[Tuple[int, bytes]] = field(default_factory=list)  # (dts_ms, aac)
+    audio: List[Tuple[int, bytes]] = field(default_factory=list)  # (dts_ms, frame)
+    audio_codec: Optional[str] = None     # "aac" | "mp3" (None until seen)
+    # codec ids of tags dropped under skip_unsupported (diagnostics)
+    skipped_video_codecs: List[int] = field(default_factory=list)
+    skipped_audio_formats: List[int] = field(default_factory=list)
 
 
 def _s24(b: bytes) -> int:
@@ -65,11 +75,15 @@ def _s24(b: bytes) -> int:
     return v - (1 << 24) if v & 0x800000 else v
 
 
-def parse_flv(data: bytes) -> FlvStreams:
-    """Walk FLV tags → H.264/AAC elementary streams.
+def parse_flv(data: bytes, skip_unsupported: bool = False) -> FlvStreams:
+    """Walk FLV tags → H.264 video + AAC/MP3 audio elementary streams.
 
-    Raises :class:`RemuxError` on a non-FLV header or on video/audio tags
-    whose codec is not AVC/AAC (those FLVs need a real transcode).
+    Raises :class:`RemuxError` on a non-FLV header, or — unless
+    ``skip_unsupported`` — on video/audio tags whose codec cannot be
+    copied into MP4 (AVC video; AAC or MP3 audio).  With
+    ``skip_unsupported`` those tags are dropped and their codec ids
+    recorded, so the transcode fallback can still salvage a copyable
+    audio track alongside a cv2-transcoded video track.
     """
     if len(data) < 13 or data[:3] != b"FLV":
         raise RemuxError("not an FLV file")
@@ -93,6 +107,10 @@ def parse_flv(data: bytes) -> FlvStreams:
         if tag_type == 9 and len(body) >= 1:          # video
             frame_type, codec = body[0] >> 4, body[0] & 0x0F
             if codec != 7:
+                if skip_unsupported:
+                    if codec not in out.skipped_video_codecs:
+                        out.skipped_video_codecs.append(codec)
+                    continue
                 raise RemuxError(
                     f"FLV video codec id {codec} is not AVC/H.264; "
                     "remux-by-copy impossible (transcode required)")
@@ -106,17 +124,32 @@ def parse_flv(data: bytes) -> FlvStreams:
                 out.video.append((ts, cts, frame_type == 1, payload))
         elif tag_type == 8 and len(body) >= 1:        # audio
             fmt = body[0] >> 4
-            if fmt != 10:
+            if fmt == 10:                             # AAC (packetized)
+                if len(body) < 2:
+                    continue
+                out.audio_codec = "aac"
+                pkt, payload = body[1], bytes(body[2:])
+                if pkt == 0 and payload:
+                    out.asc = payload
+                elif pkt == 1 and payload:
+                    out.audio.append((ts, payload))
+            elif fmt in (2, 14):                      # MP3 / MP3-8kHz
+                # MP3 tags have no packet-type byte: the MP3 frame starts
+                # right after the sound header (Adobe FLV spec, AUDIODATA).
+                # MP4 carries MP3 via esds object-type 0x6B — still a
+                # byte copy, no codec work.
+                out.audio_codec = "mp3"
+                payload = bytes(body[1:])
+                if payload:
+                    out.audio.append((ts, payload))
+            else:
+                if skip_unsupported:
+                    if fmt not in out.skipped_audio_formats:
+                        out.skipped_audio_formats.append(fmt)
+                    continue
                 raise RemuxError(
-                    f"FLV audio format id {fmt} is not AAC; "
+                    f"FLV audio format id {fmt} is not AAC or MP3; "
                     "remux-by-copy impossible (transcode required)")
-            if len(body) < 2:
-                continue
-            pkt, payload = body[1], bytes(body[2:])
-            if pkt == 0 and payload:
-                out.asc = payload
-            elif pkt == 1 and payload:
-                out.audio.append((ts, payload))
         # tag_type 18 (onMetaData script) is ignored: display size comes
         # from the SPS, which is authoritative where metadata often lies.
     return out
@@ -255,6 +288,44 @@ def parse_audio_specific_config(asc: bytes) -> Tuple[int, int, int]:
 
 
 # --------------------------------------------------------------------------
+# MP3 frame header  (ISO 11172-3 §2.4.1.3 / 13818-3)
+# --------------------------------------------------------------------------
+
+_MP3_RATES_V1 = (44100, 48000, 32000)
+
+
+def parse_mp3_header(frame: bytes) -> Tuple[int, int, int]:
+    """(sample_rate, channels, samples_per_frame) from an MPEG audio frame
+    header — enough to build the MP4 sample timing for a copied MP3 track.
+
+    Raises :class:`RemuxError` when the 11-bit sync word is absent or the
+    layer/rate fields are reserved values.
+    """
+    if len(frame) < 4 or frame[0] != 0xFF or (frame[1] & 0xE0) != 0xE0:
+        raise RemuxError("MP3 frame lacks a sync word")
+    version_bits = (frame[1] >> 3) & 0x3   # 0=2.5, 2=MPEG-2, 3=MPEG-1
+    layer_bits = (frame[1] >> 1) & 0x3     # 1=III, 2=II, 3=I
+    if version_bits == 1 or layer_bits == 0:
+        raise RemuxError("reserved MPEG audio version/layer")
+    rate_idx = (frame[2] >> 2) & 0x3
+    if rate_idx == 3:
+        raise RemuxError("reserved MPEG audio sample-rate index")
+    rate = _MP3_RATES_V1[rate_idx]
+    if version_bits == 2:                  # MPEG-2: half rates
+        rate //= 2
+    elif version_bits == 0:                # MPEG-2.5: quarter rates
+        rate //= 4
+    channels = 1 if ((frame[3] >> 6) & 0x3) == 3 else 2
+    if layer_bits == 3:                    # Layer I
+        spf = 384
+    elif layer_bits == 2:                  # Layer II
+        spf = 1152
+    else:                                  # Layer III
+        spf = 1152 if version_bits == 3 else 576
+    return rate, channels, spf
+
+
+# --------------------------------------------------------------------------
 # MP4 mux
 # --------------------------------------------------------------------------
 
@@ -319,7 +390,10 @@ def _avc1_entry(avcc: bytes, width: int, height: int) -> bytes:
     return _box(b"avc1", entry, _box(b"avcC", avcc))
 
 
-def _esds(asc: bytes, avg_bitrate: int) -> bytes:
+def _esds(asc: Optional[bytes], avg_bitrate: int,
+          object_type: int = 0x40) -> bytes:
+    """ES descriptor.  ``object_type`` 0x40 = AAC (DecoderSpecificInfo =
+    the ASC blob), 0x6B = MPEG-1 audio layer III (MP3 — no DSI exists)."""
     def desc(tag: int, body: bytes) -> bytes:
         # Expandable length, 4-byte canonical form (handles any size).
         ln = len(body)
@@ -327,8 +401,8 @@ def _esds(asc: bytes, avg_bitrate: int) -> bytes:
                      0x80 | ((ln >> 7) & 0x7F), ln & 0x7F])
         return bytes([tag]) + enc + body
 
-    dsi = desc(0x05, asc)
-    dcd = desc(0x04, struct.pack(">BBBHII", 0x40, 0x15, 0, 0,
+    dsi = desc(0x05, asc) if asc is not None else b""
+    dcd = desc(0x04, struct.pack(">BBBHII", object_type, 0x15, 0, 0,
                                  max(avg_bitrate, 1) * 2,
                                  max(avg_bitrate, 1)) + dsi)
     sl = desc(0x06, b"\x02")
@@ -336,8 +410,8 @@ def _esds(asc: bytes, avg_bitrate: int) -> bytes:
     return _full(b"esds", 0, 0, es)
 
 
-def _mp4a_entry(asc: bytes, rate: int, channels: int,
-                avg_bitrate: int) -> bytes:
+def _mp4a_entry(asc: Optional[bytes], rate: int, channels: int,
+                avg_bitrate: int, object_type: int = 0x40) -> bytes:
     entry = (b"\x00" * 6 + struct.pack(">H", 1)
              + b"\x00" * 8
              + struct.pack(">HH", channels, 16)
@@ -346,7 +420,7 @@ def _mp4a_entry(asc: bytes, rate: int, channels: int,
              # AAC): write 0 so players fall back to the esds ASC instead
              # of a truncated wrong rate.
              + struct.pack(">I", 0 if rate >= 1 << 16 else rate << 16))
-    return _box(b"mp4a", entry, _esds(asc, avg_bitrate))
+    return _box(b"mp4a", entry, _esds(asc, avg_bitrate, object_type))
 
 
 def _elst(offset_movie: int, media_dur_movie: int) -> bytes:
@@ -407,16 +481,57 @@ def _trak(track_id: int, timescale: int, duration: int, mvhd_dur: int,
     return _box(b"trak", tkhd, mdia)
 
 
+def _audio_codec_info(streams: FlvStreams) -> Tuple[int, int, int,
+                                                    Optional[bytes], int]:
+    """(rate, channels, samples_per_frame, decoder_specific_info,
+    esds_object_type) for the FLV's audio track, either codec."""
+    if streams.audio_codec == "mp3":
+        rate, channels, frame_len = parse_mp3_header(streams.audio[0][1])
+        return rate, channels, frame_len, None, 0x6B
+    if streams.asc is None:
+        raise RemuxError("FLV has AAC frames but no AudioSpecificConfig")
+    try:
+        rate, channels, frame_len = parse_audio_specific_config(streams.asc)
+    except IndexError as e:              # truncated/garbage ASC blob
+        raise RemuxError(f"unparseable AAC AudioSpecificConfig: {e}")
+    return rate, channels, frame_len, streams.asc, 0x40
+
+
+def _build_audio_trak(streams: FlvStreams, track_id: int,
+                      audio_offsets: List[int], offset_ms: int,
+                      movie_ts: int = 1000) -> Tuple[bytes, int]:
+    """Audio trak box for a copied AAC/MP3 track, plus its total movie-
+    timescale duration (initial offset + media).  Shared by the FLV copy
+    remux and the transcode fallback's audio-salvage merge
+    (serve/transcode.py)."""
+    rate, channels, frame_len, dsi, oti = _audio_codec_info(streams)
+    # Frames are a fixed frame_len samples; a constant delta in a
+    # samplerate timescale avoids FLV's ms-rounding jitter.
+    deltas = [frame_len] * len(streams.audio)
+    duration = frame_len * len(streams.audio)
+    media_ms = int(duration * 1000 / rate)
+    total_bytes = sum(len(s[1]) for s in streams.audio)
+    avg_bitrate = min(int(total_bytes * 8 * rate / max(duration, 1)),
+                      2 ** 30)
+    trak = _trak(
+        track_id, rate, duration, offset_ms + media_ms,
+        b"soun", b"mmer_tpu audio remux", _full(b"smhd", 0, 0, b"\x00" * 4),
+        _mp4a_entry(dsi, rate, channels, avg_bitrate, oti),
+        deltas, [len(s[1]) for s in streams.audio], audio_offsets,
+        edts=_elst(offset_ms, media_ms))
+    return trak, offset_ms + media_ms
+
+
 def flv_to_mp4(flv: bytes) -> bytes:
-    """Remux an H.264/AAC FLV into a progressive MP4, payloads copied
-    verbatim.  Raises :class:`RemuxError` for anything else."""
+    """Remux an H.264 + AAC/MP3 FLV into a progressive MP4, payloads
+    copied verbatim.  Raises :class:`RemuxError` for anything else."""
     streams = parse_flv(flv)
     if not streams.video and not streams.audio:
         raise RemuxError("FLV contains no media samples")
     if streams.video and streams.avcc is None:
         raise RemuxError("FLV has AVC frames but no sequence header")
-    if streams.audio and streams.asc is None:
-        raise RemuxError("FLV has AAC frames but no AudioSpecificConfig")
+    if streams.audio:
+        _audio_codec_info(streams)        # validate before any allocation
 
     movie_ts = 1000                       # FLV timestamps are milliseconds
 
@@ -489,27 +604,11 @@ def flv_to_mp4(flv: bytes) -> bytes:
             edts=_elst(offset_ms, duration)))
 
     if streams.audio:
-        try:
-            rate, channels, frame_len = parse_audio_specific_config(
-                streams.asc)
-        except IndexError as e:          # truncated/garbage ASC blob
-            raise RemuxError(f"unparseable AAC AudioSpecificConfig: {e}")
-        # AAC frames are a fixed frame_len samples; a constant delta in a
-        # samplerate timescale avoids FLV's ms-rounding jitter.
-        deltas = [frame_len] * len(streams.audio)
-        duration = frame_len * len(streams.audio)
-        offset_ms = streams.audio[0][0] - t0
-        media_ms = int(duration * 1000 / rate)
-        durations_ms.append(offset_ms + media_ms)
-        total_bytes = sum(len(s[1]) for s in streams.audio)
-        avg_bitrate = min(int(total_bytes * 8 * rate / max(duration, 1)),
-                          2 ** 30)
-        traks.append(_trak(
-            2 if streams.video else 1, rate, duration, durations_ms[-1],
-            b"soun", b"mmer_tpu audio remux", _full(b"smhd", 0, 0, b"\x00" * 4),
-            _mp4a_entry(streams.asc, rate, channels, avg_bitrate),
-            deltas, [len(s[1]) for s in streams.audio], audio_offsets,
-            edts=_elst(offset_ms, media_ms)))
+        trak, dur_ms = _build_audio_trak(
+            streams, 2 if streams.video else 1, audio_offsets,
+            streams.audio[0][0] - t0, movie_ts)
+        traks.append(trak)
+        durations_ms.append(dur_ms)
 
     mvhd = _full(b"mvhd", 0, 0,
                  struct.pack(">IIII", 0, 0, movie_ts, max(durations_ms)),

@@ -62,6 +62,11 @@ def main() -> None:
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip warmup() and measure the cold first request")
     ap.add_argument("--detect_every", type=int, default=3)
+    ap.add_argument("--long_upload_frames", type=int, default=0,
+                    help="also run ONE long upload of this many frames "
+                         "(e.g. 3600 = 2 min @ 30fps) and report its "
+                         "latency + peak RSS delta — the bounded-memory "
+                         "streaming case (VERDICT r2 #6)")
     args = ap.parse_args()
 
     from mmer_tpu.core.cache import enable_persistent_cache
@@ -108,8 +113,34 @@ def main() -> None:
             f"p95={pctl(lats, 95)*1e3:.0f}ms "
             f"(n={len(lats)}, {args.frames} frames/upload)")
 
+    long_stats = None
+    if args.long_upload_frames:
+        import resource
+
+        p = os.path.join(tmp, "long.mp4")
+        make_face_video(p, args.long_upload_frames, seed=99)
+        data = open(p, "rb").read()
+        decoded_mb = args.long_upload_frames * 300 * 256 * 3 / 1e6
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        t0 = time.time()
+        r = engine.infer_file_bytes(data, "long.mp4", explain=False,
+                                    detect_every=args.detect_every)
+        t_long = time.time() - t0
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        assert r["inference"], "no inference items on the long video"
+        long_stats = {
+            "frames": args.long_upload_frames,
+            "latency_s": round(t_long, 2),
+            "decoded_rgb_mb": round(decoded_mb, 0),
+            "peak_rss_delta_mb": round(rss1 - rss0, 1),
+        }
+        log(f"long upload ({args.long_upload_frames} frames, "
+            f"{decoded_mb:.0f} MB decoded RGB): {t_long:.1f}s, "
+            f"peak-RSS delta {rss1 - rss0:.0f} MB")
+
     import json
     print(json.dumps({
+        **({"long_upload": long_stats} if long_stats else {}),
         "first_request_s": round(first, 2),
         "warmed": not args.no_warmup,
         "frames_per_upload": args.frames,

@@ -32,6 +32,12 @@ def main() -> None:
                         help="the reference's exact recipe (wd 1e-4, no "
                              "dropout bump/label smoothing) instead of "
                              "the winning regularized one")
+    parser.add_argument("--out_dir", default=None,
+                        help="write one results JSON per seed (reference "
+                             "training_runs_2/*.json schema: config + "
+                             "per-epoch rows) plus summary.json — the "
+                             "committable evidence for the README quality "
+                             "table (VERDICT r2 #7)")
     args = parser.parse_args()
 
     import numpy as np
@@ -59,6 +65,8 @@ def main() -> None:
                             seeds_per_call=args.seeds_per_call,
                             epochs_per_call=args.epochs_per_call)
 
+    import dataclasses
+
     best_f1, val_f1 = [], []
     for o in outs:
         rows = o["results"]
@@ -69,14 +77,37 @@ def main() -> None:
         print(f"seed {o['seed']}: epochs {len(rows)} "
               f"best-epoch F1 {best['test_macro_f1']:.4f} "
               f"val-selected {sel['test_macro_f1']:.4f}", flush=True)
-    print(json.dumps({
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            path = os.path.join(
+                args.out_dir,
+                f"results_{'ref' if args.ref_recipe else 'winning'}"
+                f"_seed{o['seed']}.json")
+            with open(path, "w") as f:
+                json.dump({
+                    "seed": o["seed"],
+                    "recipe": "reference" if args.ref_recipe else "winning",
+                    "model_config": dataclasses.asdict(model_cfg),
+                    "train_config": dataclasses.asdict(train_cfg),
+                    "batch_size": 64,
+                    "best_epoch": {"epoch": rows.index(best) + 1, **best},
+                    "val_selected": {"epoch": rows.index(sel) + 1, **sel},
+                    "training_progress": rows,
+                }, f, indent=1)
+    summary = {
         "recipe": "reference" if args.ref_recipe else "winning",
         "seeds": args.seeds,
         "best_epoch_f1_mean": round(float(np.mean(best_f1)), 4),
         "best_epoch_f1_std": round(float(np.std(best_f1)), 4),
         "val_selected_f1_mean": round(float(np.mean(val_f1)), 4),
         "val_selected_f1_std": round(float(np.std(val_f1)), 4),
-    }))
+    }
+    if args.out_dir:
+        with open(os.path.join(
+                args.out_dir,
+                f"summary_{summary['recipe']}.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -407,3 +407,168 @@ def test_over_4gib_media_raises_remux_error(monkeypatch):
     monkeypatch.setattr(remux_mod, "parse_flv", lambda flv: streams)
     with pytest.raises(RemuxError, match="4 GiB"):
         remux_mod.flv_to_mp4(b"unused")
+
+
+# --------------------------------------------------------------------------
+# MP3 audio (copy path) + cv2 transcode fallback (serve/transcode.py) —
+# closes the reference's non-AVC FLV preview capability
+# (VideoPlayer.tsx:336-360 ffmpeg.wasm copy→libx264→mpeg4 chain).
+# --------------------------------------------------------------------------
+
+# MPEG-1 Layer III, 128 kbps, 44.1 kHz, stereo: frame = 417 bytes.
+MP3_FRAME = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+
+
+def mp3_audio_tag(ts: int, frame: bytes = MP3_FRAME) -> bytes:
+    # Sound header: format=2 (MP3), rate=3 (44 kHz), size=1, stereo=1.
+    return _flv_tag(8, ts, bytes([0x2F]) + frame)
+
+
+def make_mp3_flv(n_audio: int = 5, with_video: bool = True) -> bytes:
+    out = bytearray(b"FLV\x01\x05" + struct.pack(">I", 9)
+                    + b"\x00\x00\x00\x00")
+    if with_video:
+        out += video_tag(0, make_avcc(make_sps()), True, pkt=0)
+        for i, s in enumerate(VIDEO_SAMPLES):
+            out += video_tag(i * 40, s, s[4] == 0x65)
+    for i in range(n_audio):
+        out += mp3_audio_tag(i * 26)      # 1152 samples @ 44.1 kHz ≈ 26 ms
+    return bytes(out)
+
+
+def test_mp3_header_parse():
+    from mmer_tpu.serve.remux import parse_mp3_header
+
+    assert parse_mp3_header(MP3_FRAME) == (44100, 2, 1152)
+    # MPEG-2 Layer III 24 kHz mono → 576 samples/frame
+    assert parse_mp3_header(bytes([0xFF, 0xF3, 0x94, 0xC0])) \
+        == (24000, 1, 576)
+    # MPEG-1 Layer II 48 kHz → 1152
+    assert parse_mp3_header(bytes([0xFF, 0xFD, 0x94, 0x00])) \
+        == (48000, 2, 1152)
+    with pytest.raises(RemuxError, match="sync"):
+        parse_mp3_header(b"\x00\x00\x00\x00")
+    with pytest.raises(RemuxError, match="reserved"):
+        parse_mp3_header(bytes([0xFF, 0xEB, 0x90, 0x00]))   # version 01
+
+
+def test_mp3_flv_copy_remux():
+    """H.264 + MP3 FLV remuxes by byte copy: esds object type 0x6B, no
+    DecoderSpecificInfo, samplerate timescale, constant 1152 deltas."""
+    mp4 = flv_to_mp4(make_mp3_flv())
+    boxes = parse_boxes(mp4)
+    audio_stbl = boxes["/moov/trak1/mdia/minf/stbl"]
+
+    timescale = struct.unpack(
+        ">I", _leaf(boxes["/moov/trak1/mdia"], b"mdhd")[12:16])[0]
+    assert timescale == 44100
+
+    stts_raw = _leaf(audio_stbl, b"stts")[4:]
+    n = struct.unpack(">I", stts_raw[:4])[0]
+    runs = [struct.unpack(">II", stts_raw[4 + 8 * i:12 + 8 * i])
+            for i in range(n)]
+    assert runs == [(5, 1152)]
+
+    # esds: DecoderConfigDescriptor (tag 0x04) carries OTI 0x6B and NO
+    # nested DecoderSpecificInfo (tag 0x05).  The esds box sits after the
+    # 28-byte fixed audio sample entry inside the mp4a box.
+    esds = _leaf(_leaf(_leaf(audio_stbl, b"stsd")[8:], b"mp4a")[28:],
+                 b"esds")
+    i = esds.index(b"\x04")               # first DCD tag in the ES descr
+    oti = esds[i + 5]                     # tag + 4-byte expandable length
+    assert oti == 0x6B
+    assert b"\x05" not in esds[i + 5:i + 18]
+
+    # payload byte mapping through stco/stsz
+    offsets = table_u32(audio_stbl, b"stco")
+    assert len(offsets) == 5
+    for off in offsets:
+        assert mp4[off:off + len(MP3_FRAME)] == MP3_FRAME
+
+
+def _cv2_flv1_bytes(n_frames: int = 8, size=(64, 48)) -> bytes:
+    cv2 = pytest.importorskip("cv2")
+    import tempfile
+
+    import numpy as np
+
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/clip.flv"
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"FLV1"), 25.0, size)
+        if not w.isOpened():
+            pytest.skip("cv2 FLV1 encoder unavailable")
+        for i in range(n_frames):
+            frame = np.full((size[1], size[0], 3), i * 25, np.uint8)
+            frame[:, : (i + 1) * 4] = (0, 128, 255)
+            w.write(frame)
+        w.release()
+        return open(p, "rb").read()
+
+
+def _count_decodable_frames(mp4: bytes) -> int:
+    import tempfile
+
+    cv2 = pytest.importorskip("cv2")
+    with tempfile.TemporaryDirectory() as tmp:
+        p = f"{tmp}/preview.mp4"
+        open(p, "wb").write(mp4)
+        cap = cv2.VideoCapture(p)
+        n = 0
+        while cap.read()[0]:
+            n += 1
+        cap.release()
+        return n
+
+
+def test_flv1_transcode_fallback():
+    """A Sorenson/FLV1 FLV (what cv2 writes) is NOT copy-remuxable but
+    must still produce a playable MP4 via the cv2 mp4v fallback."""
+    from mmer_tpu.serve.transcode import flv_preview_mp4
+
+    flv = _cv2_flv1_bytes(8)
+    with pytest.raises(RemuxError, match="not AVC"):
+        flv_to_mp4(flv)
+    mp4, mode = flv_preview_mp4(flv)
+    assert mode == "transcode"
+    assert _count_decodable_frames(mp4) == 8
+
+
+def test_flv1_with_mp3_audio_merges_copied_track():
+    """FLV1 video + MP3 audio: video transcodes, audio is byte-copied
+    into the merged preview (two traks, payloads intact)."""
+    from mmer_tpu.serve.transcode import flv_preview_mp4
+
+    flv = bytearray(_cv2_flv1_bytes(6))
+    for i in range(4):
+        flv += mp3_audio_tag(i * 26)
+    mp4, mode = flv_preview_mp4(bytes(flv))
+    assert mode == "transcode"
+
+    boxes = parse_boxes(mp4)
+    assert "/moov/trak0" in boxes and "/moov/trak1" in boxes
+    audio_stbl = boxes["/moov/trak1/mdia/minf/stbl"]
+    offsets = table_u32(audio_stbl, b"stco")
+    assert len(offsets) == 4
+    for off in offsets:
+        assert mp4[off:off + len(MP3_FRAME)] == MP3_FRAME
+    esds = _leaf(_leaf(_leaf(audio_stbl, b"stsd")[8:], b"mp4a")[28:],
+                 b"esds")
+    i = esds.index(b"\x04")
+    assert esds[i + 5] == 0x6B
+    assert _count_decodable_frames(mp4) == 6
+
+
+def test_preview_still_415_when_nothing_works():
+    from mmer_tpu.serve.transcode import flv_preview_mp4
+
+    with pytest.raises(RemuxError):
+        flv_preview_mp4(b"FLV\x01\x05" + struct.pack(">I", 9)
+                        + b"\x00" * 64)
+
+
+def test_copy_path_round_trips_through_preview_entry():
+    from mmer_tpu.serve.transcode import flv_preview_mp4
+
+    mp4, mode = flv_preview_mp4(make_flv())
+    assert mode == "copy"
+    assert mp4 == flv_to_mp4(make_flv())
