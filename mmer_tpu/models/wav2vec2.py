@@ -110,17 +110,22 @@ class ConvFeatureEncoder(nn.Module):
     # k=2/s=2 layers (a FREE reshape + GEMM, zero duplication) 35.3 ms —
     # noise-level at best.  XLA's own conv lowering implicitly im2cols
     # with better layouts and no materialized patches.  Kept (with
-    # equivalence tests) as the documented baseline for future
-    # conv-encoder work (a fused 7-layer conv-pyramid Pallas kernel is
-    # the remaining real lever: inter-layer activations round-trip
-    # ~1.65 GB×2 of HBM per B=64×4 s batch today).
+    # equivalence tests) as the documented baseline.
     im2col_layers: tuple = ()
+    # Route the whole stack through the per-layer fused conv→LN→GELU
+    # Pallas kernels (ops/conv_pyramid.py) — the r3 answer to the HBM
+    # round trips that im2col-in-HBM couldn't fix (patches stay in VMEM,
+    # the stride-2 merge is a free HBM bitcast between kernels).
+    use_pyramid: bool = False
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         dt = _dtype(cfg)
         init = self.is_initializing()
+        if self.use_pyramid and not init:
+            from mmer_tpu.ops.conv_pyramid import fused_conv_encoder
+            return fused_conv_encoder(wave, self.variables["params"], cfg)
         x = wave[:, :, None].astype(dt)           # (B, L, 1)
         for i, (dim, kernel, stride) in enumerate(
                 zip(cfg.conv_dims, cfg.conv_kernels, cfg.conv_strides)):
@@ -215,12 +220,14 @@ class Wav2Vec2Encoder(nn.Module):
     """Full model: waveform → per-frame hidden states (B, T, 1024)."""
 
     cfg: Wav2Vec2Config
+    use_pallas: bool = False   # fused Pallas kernels (ops/conv_pyramid.py)
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray,
                  frame_pad_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         cfg = self.cfg
-        feats = ConvFeatureEncoder(cfg, name="feature_encoder")(wave)
+        feats = ConvFeatureEncoder(cfg, use_pyramid=self.use_pallas,
+                                   name="feature_encoder")(wave)
         x = nn.LayerNorm(dtype=jnp.float32, name="proj_norm")(feats)
         x = nn.Dense(cfg.hidden_dim, dtype=_dtype(cfg),
                      param_dtype=jnp.float32, name="proj")(x)
@@ -336,10 +343,20 @@ class AudioEmbedder:
     def __init__(self, cfg: Optional[Wav2Vec2Config] = None,
                  params: Optional[dict] = None,
                  params_path: Optional[str] = None,
-                 mesh=None):
+                 mesh=None,
+                 use_pallas: Optional[bool] = None):
         cfg = cfg or Wav2Vec2Config()
         self.cfg = cfg
-        self.model = Wav2Vec2Encoder(cfg)
+        # None → fused Pallas kernels on TPU (measured faster,
+        # scripts/profile_conv_pyramid.py), plain XLA elsewhere (CPU tests
+        # and the virtual-mesh dryrun keep the portable path; serving
+        # passes an explicit value — Mosaic compile-cache keys are
+        # process-unstable, see serve/engine.py).
+        if use_pallas is None:
+            from mmer_tpu.ops.conv_pyramid import supports_config
+            use_pallas = (jax.default_backend() == "tpu"
+                          and supports_config(cfg))
+        self.model = Wav2Vec2Encoder(cfg, use_pallas=use_pallas)
         if params is None and params_path:
             from mmer_tpu.train.checkpoint import load_params_msgpack
             target = self._seeded_params()

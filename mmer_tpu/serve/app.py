@@ -303,6 +303,11 @@ def main():
                              "ViViT in serving: ~9 ms faster per request "
                              "but restarts re-pay a multi-minute Mosaic "
                              "compile (its cache key is process-unstable)")
+    parser.add_argument("--wav_pallas", action="store_true",
+                        help="use the fused Pallas conv encoder in the "
+                             "audio model (same trade as --vivit_flash: "
+                             "~4 ms faster per audio batch, restarts "
+                             "re-pay its Mosaic compile)")
     parser.add_argument("--max_upload_mb", type=int,
                         default=DEFAULT_MAX_UPLOAD_BYTES >> 20,
                         help="reject uploads larger than this with 413")
@@ -316,7 +321,8 @@ def main():
                              vivit_params_path=args.vivit_params,
                              wav_params_path=args.wav_params,
                              norm_stats_path=args.norm_stats,
-                             vivit_use_flash=args.vivit_flash)
+                             vivit_use_flash=args.vivit_flash,
+                             wav_use_pallas=args.wav_pallas)
     if args.warmup:
         resolutions = []
         for part in filter(None, args.warmup_resolutions.split(",")):

@@ -49,7 +49,8 @@ class InferenceEngine:
                  norm_stats: Optional[dict] = None,
                  norm_stats_path: Optional[str] = None,
                  labels: Sequence[str] = LABELS,
-                 vivit_use_flash: bool = False):
+                 vivit_use_flash: bool = False,
+                 wav_use_pallas: bool = False):
         self.model_cfg = model_cfg or ModelConfig()
         self.vivit_cfg = vivit_cfg or ViViTConfig()
         self.wav_cfg = wav_cfg or Wav2Vec2Config()
@@ -78,6 +79,11 @@ class InferenceEngine:
         # compile amortizes over thousands of clips and the 97 vs 145 ms
         # per batch matters.
         self.vivit_use_flash = vivit_use_flash
+        # Same policy for the audio conv encoder's fused Pallas kernels
+        # (ops/conv_pyramid.py): XLA by default in serving, opt in with
+        # --wav_pallas.  Extraction keeps the fused path (AudioEmbedder's
+        # TPU default), where ~4 ms per B=64 batch amortizes the compile.
+        self.wav_use_pallas = wav_use_pallas
         self._detector = detector
         self._video_extractor = None
         self._audio_embedder = None
@@ -106,7 +112,8 @@ class InferenceEngine:
         if self._audio_embedder is None:
             from mmer_tpu.models.wav2vec2 import AudioEmbedder
             self._audio_embedder = AudioEmbedder(
-                self.wav_cfg, params_path=self.wav_params_path)
+                self.wav_cfg, params_path=self.wav_params_path,
+                use_pallas=self.wav_use_pallas)
         return self._audio_embedder
 
     @property
