@@ -168,6 +168,11 @@ class EncoderLayer(nn.Module):
     """Stable-layer-norm transformer layer (pre-norm, biased projections)."""
 
     cfg: Wav2Vec2Config
+    # Run the FFN sublayer through the shared fused Pallas kernel
+    # (ops/fused_blocks.fused_ffn, the one measured faster for ViViT):
+    # the (tokens, ffn_dim) hidden tensor never touches HBM.  The f32
+    # residual stream and bf16 weights are passed as-is.
+    use_fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -208,6 +213,16 @@ class EncoderLayer(nn.Module):
                                name="out")(attn.astype(dt))
         x = x + attn.astype(x.dtype)
 
+        if self.use_fused_ffn and not self.is_initializing():
+            from mmer_tpu.ops.fused_blocks import fused_ffn
+            p = self.variables["params"]
+            return fused_ffn(x, p["norm_ffn"]["scale"],
+                             p["norm_ffn"]["bias"],
+                             p["ffn_in"]["kernel"].astype(dt),
+                             p["ffn_in"]["bias"].astype(dt),
+                             p["ffn_out"]["kernel"].astype(dt),
+                             p["ffn_out"]["bias"].astype(dt))
+
         y = nn.LayerNorm(dtype=jnp.float32, name="norm_ffn")(x)
         y = nn.Dense(cfg.ffn_dim, dtype=dt, param_dtype=jnp.float32,
                      name="ffn_in")(y.astype(dt))
@@ -220,7 +235,9 @@ class Wav2Vec2Encoder(nn.Module):
     """Full model: waveform → per-frame hidden states (B, T, 1024)."""
 
     cfg: Wav2Vec2Config
-    use_pallas: bool = False   # fused Pallas kernels (ops/conv_pyramid.py)
+    # Fused Pallas kernels: conv encoder (ops/conv_pyramid.py) + the
+    # transformer FFN sublayers (ops/fused_blocks.fused_ffn).
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray,
@@ -239,7 +256,8 @@ class Wav2Vec2Encoder(nn.Module):
             x = jnp.where(frame_pad_mask[:, :, None], 0.0, x)
         x = x + PosConvEmbed(cfg, name="pos_conv")(x).astype(x.dtype)
         for i in range(cfg.num_layers):
-            x = EncoderLayer(cfg, name=f"layer_{i}")(x, frame_pad_mask)
+            x = EncoderLayer(cfg, use_fused_ffn=self.use_pallas,
+                             name=f"layer_{i}")(x, frame_pad_mask)
         x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
         return x
 

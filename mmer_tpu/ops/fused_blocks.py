@@ -166,16 +166,19 @@ def _ffn_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _pick_ffn_blocks(d: int, m: int, itemsize: int) -> tuple[int, int]:
+def _pick_ffn_blocks(d: int, m: int, x_itemsize: int,
+                     w_itemsize: int) -> tuple[int, int]:
     """(block_t, m_chunk) under the VMEM model: double-buffered weight
     slabs + x/out blocks + f32 LN-output scratch, accumulator and h
-    value."""
+    value.  The stream and weight itemsizes are separate — the Wav2Vec2
+    encoder keeps an f32 residual stream over bf16 weights, and lumping
+    them (max) halves the affordable token block for no reason."""
     for bt in (512, 384, 256, 128, 64):
         for mcs in (1024, 768, 512, 256):
             if m % mcs:
                 continue
-            weights = 2 * (d * mcs + mcs * d) * itemsize
-            io = 2 * 2 * bt * d * itemsize
+            weights = 2 * (d * mcs + mcs * d) * w_itemsize
+            io = 2 * 2 * bt * d * x_itemsize
             scratch = 2 * bt * d * 4 + bt * mcs * 4
             if weights + io + scratch <= _VMEM_BUDGET:
                 return bt, mcs
@@ -184,10 +187,15 @@ def _pick_ffn_blocks(d: int, m: int, itemsize: int) -> tuple[int, int]:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _fused_ffn(x, scale, bias, w1, b1, w2, b2, interpret):
-    b, s, d = x.shape
+    b0, s0, d = x.shape
+    # The FFN is token-wise, so batch×tokens flatten into ONE grid axis:
+    # fewer ragged tail blocks (at ViViT-B's S=1569, per-batch bt=512
+    # blocks pad 1569→2048 rows — 23% masked garbage compute) and ~B×
+    # fewer weight-slab streaming sweeps.
+    x = x.reshape(1, b0 * s0, d)
+    b, s = 1, b0 * s0
     m = w1.shape[1]
-    bt, mcs = _pick_ffn_blocks(d, m, max(x.dtype.itemsize,
-                                         w1.dtype.itemsize))
+    bt, mcs = _pick_ffn_blocks(d, m, x.dtype.itemsize, w1.dtype.itemsize)
     grid = (b, pl.cdiv(s, bt), m // mcs)
     return pl.pallas_call(
         _ffn_kernel,
@@ -214,7 +222,7 @@ def _fused_ffn(x, scale, bias, w1, b1, w2, b2, interpret):
             transcendentals=b * s * m),
         interpret=interpret,
     )(x, scale.reshape(1, d), bias.reshape(1, d), w1, b1.reshape(1, m),
-      w2, b2.reshape(1, d))
+      w2, b2.reshape(1, d)).reshape(b0, s0, d)
 
 
 def fused_ffn(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,

@@ -101,8 +101,8 @@ def main():
     conv_apply = jax.jit(conv.apply)
     t = timed(lambda w: conv_apply(conv_params, w), [(w,) for w in waves])
     fl = B * c_fl
-    print(f"conv encoder: {t*1e3:5.1f} ms  {fl/t/1e12:5.1f} TF/s  "
-          f"MFU={fl/t/PEAK*100:4.1f}%")
+    print(f"conv encoder (xla path): {t*1e3:5.1f} ms  {fl/t/1e12:5.1f} TF/s  "
+          f"MFU={fl/t/PEAK*100:4.1f}%  (fused A/B: profile_conv_pyramid.py)")
 
     # transformer alone: run full model on ALREADY-ENCODED features by
     # timing full minus conv is biased; instead feed the encoder from a
@@ -140,8 +140,10 @@ def main():
     rest_apply = jax.jit(trans_only)
     t = timed(lambda f: rest_apply(rest_params, f), [(f,) for f in feats])
     fl = B * t_fl
-    print(f"transformer+proj: {t*1e3:5.1f} ms  {fl/t/1e12:5.1f} TF/s  "
-          f"MFU={fl/t/PEAK*100:4.1f}%")
+    print(f"transformer+proj (xla path): {t*1e3:5.1f} ms  {fl/t/1e12:5.1f} "
+          f"TF/s  MFU={fl/t/PEAK*100:4.1f}%  (the full-model row uses the "
+          f"fused-FFN layers on TPU — the gap between this row + conv and "
+          f"the full-model total IS the fusion win)")
 
 
 if __name__ == "__main__":

@@ -185,3 +185,33 @@ def test_im2col_conv_encoder_matches_lax_conv():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_use_pallas_full_encoder_matches_xla():
+    """``Wav2Vec2Encoder(use_pallas=True)`` — fused conv pyramid
+    (ops/conv_pyramid.py) + fused FFN sublayers (ops/fused_blocks.py) —
+    reproduces the plain XLA encoder on the same params, including with
+    a frame pad mask (the FFN flattens batch×tokens, so masked rows must
+    come back in place)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(4)
+    wave = jnp.asarray(rng.normal(size=(2, 3200)), jnp.float32)
+    t = feat_extract_output_length(TINY, 3200)
+    pad = jnp.zeros((2, t), bool).at[1, t // 2:].set(True)
+
+    plain = Wav2Vec2Encoder(TINY)
+    fused = Wav2Vec2Encoder(TINY, use_pallas=True)
+    params = plain.init({"params": jax.random.PRNGKey(0)}, wave)
+    params2 = fused.init({"params": jax.random.PRNGKey(0)}, wave)
+    assert jax.tree_util.tree_structure(params) \
+        == jax.tree_util.tree_structure(params2)
+
+    want = plain.apply(params, wave, pad)
+    with pltpu.force_tpu_interpret_mode():
+        got = fused.apply(params, wave, pad)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-4, rtol=5e-4)
