@@ -173,6 +173,12 @@ class EncoderLayer(nn.Module):
     # the (tokens, ffn_dim) hidden tensor never touches HBM.  The f32
     # residual stream and bf16 weights are passed as-is.
     use_fused_ffn: bool = False
+    # Run attention through ops/flash_attention (per-batch key-length
+    # masking): XLA materializes the (B, H, S, S) f32 score tensor in HBM
+    # — ~162 MB/layer at B=64, S=199 — so the sublayer is bandwidth-bound
+    # despite the tiny FLOP count.  Inference-only (no backward kernel);
+    # the extractor never trains.
+    use_flash_attn: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -191,23 +197,19 @@ class EncoderLayer(nn.Module):
                                    param_dtype=jnp.float32, name=name)(yd)
 
         q, k, v = proj("q"), proj("k"), proj("v")
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-        if pad_mask is not None:
-            # Large-negative FINITE bias, not -inf: a clip shorter than the
-            # conv stack's ~400-sample receptive field has 0 output frames,
-            # so every attention row is fully masked — with -inf that row
-            # softmaxes to NaN and poisons the pooled embedding (ADVICE r1).
-            # With -1e9 it softmaxes to uniform; real keys still get exact
-            # 0 probability for padded keys, and the fully-masked case is
-            # dropped by the length-masked pooling (→ zero embedding, the
-            # reference's no-audio fallback).
-            bias = jnp.where(pad_mask[:, None, None, :], -1e9, 0.0)
-            scores = scores + bias
-        probs = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v,
-                          preferred_element_type=jnp.float32)
+        if self.use_flash_attn and not self.is_initializing():
+            from mmer_tpu.ops.flash_attention import flash_attention
+            key_lens = None
+            if pad_mask is not None:
+                # Frame pads are suffix-contiguous (conv-stack output
+                # lengths), so a per-batch count is a complete mask.
+                key_lens = jnp.sum(~pad_mask, axis=1).astype(jnp.int32)
+            attn = flash_attention(
+                jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                jnp.swapaxes(v, 1, 2), key_lens=key_lens)
+            attn = jnp.swapaxes(attn, 1, 2)            # (B, S, H, hd)
+        else:
+            attn = self._xla_attention(q, k, v, pad_mask, hd)
         attn = nn.DenseGeneral(d, axis=(-2, -1), dtype=dt,
                                param_dtype=jnp.float32,
                                name="out")(attn.astype(dt))
@@ -230,14 +232,38 @@ class EncoderLayer(nn.Module):
         y = nn.Dense(d, dtype=dt, param_dtype=jnp.float32, name="ffn_out")(y)
         return x + y.astype(x.dtype)
 
+    def _xla_attention(self, q, k, v, pad_mask, hd):
+        dt = _dtype(self.cfg)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+        if pad_mask is not None:
+            # Large-negative FINITE bias, not -inf: a clip shorter than the
+            # conv stack's ~400-sample receptive field has 0 output frames,
+            # so every attention row is fully masked — with -inf that row
+            # softmaxes to NaN and poisons the pooled embedding (ADVICE r1).
+            # With -1e9 it softmaxes to uniform; real keys still get exact
+            # 0 probability for padded keys, and the fully-masked case is
+            # dropped by the length-masked pooling (→ zero embedding, the
+            # reference's no-audio fallback).
+            bias = jnp.where(pad_mask[:, None, None, :], -1e9, 0.0)
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dt), v,
+                          preferred_element_type=jnp.float32)
+
 
 class Wav2Vec2Encoder(nn.Module):
     """Full model: waveform → per-frame hidden states (B, T, 1024)."""
 
     cfg: Wav2Vec2Config
-    # Fused Pallas kernels: conv encoder (ops/conv_pyramid.py) + the
-    # transformer FFN sublayers (ops/fused_blocks.fused_ffn).
+    # Fused Pallas kernels: conv encoder (ops/conv_pyramid.py), the
+    # transformer FFN sublayers (ops/fused_blocks.fused_ffn) and flash
+    # attention with per-batch key lengths (ops/flash_attention.py).
     use_pallas: bool = False
+    # None → follow use_pallas; explicit False keeps the measured-win
+    # conv/FFN fusions while attention stays on XLA.
+    use_flash_attn: Optional[bool] = None
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray,
@@ -255,8 +281,11 @@ class Wav2Vec2Encoder(nn.Module):
         if frame_pad_mask is not None:
             x = jnp.where(frame_pad_mask[:, :, None], 0.0, x)
         x = x + PosConvEmbed(cfg, name="pos_conv")(x).astype(x.dtype)
+        flash = (self.use_pallas if self.use_flash_attn is None
+                 else self.use_flash_attn)
         for i in range(cfg.num_layers):
             x = EncoderLayer(cfg, use_fused_ffn=self.use_pallas,
+                             use_flash_attn=flash,
                              name=f"layer_{i}")(x, frame_pad_mask)
         x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
         return x
@@ -374,7 +403,11 @@ class AudioEmbedder:
             from mmer_tpu.ops.conv_pyramid import supports_config
             use_pallas = (jax.default_backend() == "tpu"
                           and supports_config(cfg))
-        self.model = Wav2Vec2Encoder(cfg, use_pallas=use_pallas)
+        # Flash attention stays OFF here until its on-chip A/B lands
+        # (repo rule: only measured wins get routed); the conv-pyramid and
+        # fused-FFN kernels are the measured-faster paths.
+        self.model = Wav2Vec2Encoder(cfg, use_pallas=use_pallas,
+                                     use_flash_attn=False)
         if params is None and params_path:
             from mmer_tpu.train.checkpoint import load_params_msgpack
             target = self._seeded_params()

@@ -92,6 +92,48 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
     jax.lax.fori_loop(0, heads, body, 0)
 
 
+def _attn_kernel_varlen(len_ref, q_ref, k_ref, v_ref, o_ref, *,
+                        scale: float, heads: int):
+    """Per-batch dynamic key-length masking (Wav2Vec2: clips shorter than
+    the padded batch length attend to their own frames only).
+
+    Padded keys get a large-negative FINITE additive bias, not -inf,
+    mirroring models/wav2vec2.py EncoderLayer: a zero-length clip's rows
+    softmax to uniform instead of NaN (they are dropped later by the
+    length-masked pooling).  For rows with any valid key the padded keys
+    still round to exactly 0 probability.  The only divergence from the
+    XLA path: a fully-masked row averages over s_pad zero-padded values
+    instead of seq_len — harmless, those rows are never consumed.
+    """
+    s_pad = k_ref.shape[2]
+    kl = len_ref[0]
+    key_idx = jax.lax.broadcasted_iota(
+        jnp.int32, (q_ref.shape[2], s_pad), 1)
+    bias = jnp.where(key_idx < kl, 0.0, -1e9).astype(jnp.float32)
+
+    def body(hh, _):
+        q = q_ref[0, hh] * scale
+        k = k_ref[0, hh]
+        v = v_ref[0, hh]
+        scores = jax.lax.dot_general(
+            q.astype(k.dtype), k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) + bias
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        v_ext = jnp.concatenate(
+            [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+        out_ext = jax.lax.dot_general(
+            p.astype(v.dtype), v_ext,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        d = v.shape[1]
+        o_ref[0, hh] = (out_ext[:, :d] / out_ext[:, d:]).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, heads, body, 0)
+
+
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
@@ -144,12 +186,17 @@ def _pick_blocks(h: int, s_pad: int, d: int, itemsize: int
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    key_lens: jnp.ndarray | None = None,
                     block_q: int | None = None,
                     block_h: int | None = None,
                     interpret: bool | None = None) -> jnp.ndarray:
-    """Fused attention over (B, H, S, D) tensors, full (unmasked) attention.
+    """Fused attention over (B, H, S, D) tensors.
 
     Pads S up to a 128 multiple internally; returns (B, H, S, D).
+    ``key_lens`` (optional, ``(B,)`` int32) masks keys at or beyond each
+    batch element's valid length with a finite -1e9 additive bias — the
+    Wav2Vec2 frame-padding semantics (models/wav2vec2.py EncoderLayer);
+    without it, attention is full (unmasked) over the true S.
     ``block_q``/``block_h`` override the VMEM-model block picker (tests;
     a manual ``block_q`` alone implies single-head programs).
     """
@@ -178,21 +225,39 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     q_spec = pl.BlockSpec((1, block_h, block_q, d),
                           lambda bi, hi, qi: (bi, hi, qi, 0),
                           memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, seq_len=s,
-                          heads=block_h),
-        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-        grid=grid,
-        in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * s_pad * s_pad * d,
-            bytes_accessed=(2 * b * h * s_pad * d * q.dtype.itemsize * 2
-                            + b * h * s_pad * d * q.dtype.itemsize),
-            transcendentals=b * h * s_pad * s_pad,
-        ),
-        interpret=interpret,
-    )(q, k, v)
+    cost = pl.CostEstimate(
+        flops=4 * b * h * s_pad * s_pad * d,
+        bytes_accessed=(2 * b * h * s_pad * d * q.dtype.itemsize * 2
+                        + b * h * s_pad * d * q.dtype.itemsize),
+        transcendentals=b * h * s_pad * s_pad,
+    )
+    if key_lens is not None:
+        # Dynamic per-batch lengths ride SMEM; the static tail (s..s_pad)
+        # is covered by the same bias since key_lens <= s.
+        lens = jnp.minimum(key_lens.astype(jnp.int32).reshape(b), s)
+        len_spec = pl.BlockSpec((1,), lambda bi, hi, qi: (bi,),
+                                memory_space=pltpu.SMEM)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_varlen, scale=scale,
+                              heads=block_h),
+            out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            grid=grid,
+            in_specs=[len_spec, q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(lens, q, k, v)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale, seq_len=s,
+                              heads=block_h),
+            out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            grid=grid,
+            in_specs=[q_spec, kv_spec, kv_spec],
+            out_specs=q_spec,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
     if s_pad != s:
         out = out[:, :, :s, :]
     return out

@@ -122,3 +122,37 @@ def test_tubelet_count():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+def test_flash_attention_key_lens_masks_per_batch():
+    """``key_lens`` must reproduce the Wav2Vec2 additive -1e9 key-bias
+    semantics per batch element (models/wav2vec2.py EncoderLayer),
+    including a zero-length element (uniform rows, no NaN)."""
+    rng = np.random.default_rng(5)
+    b, h, s, d = 3, 2, 40, 64
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)), jnp.float32)
+    lens = jnp.asarray([40, 17, 0], jnp.int32)
+
+    got = flash_attention(q, k, v, key_lens=lens, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+
+    # Oracle: the XLA path with the same finite bias.
+    key_idx = jnp.arange(s)[None, None, None, :]
+    bias = jnp.where(key_idx < lens[:, None, None, None], 0.0, -1e9)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d) + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    want = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+    # Rows with at least one valid key must match the oracle tightly.
+    np.testing.assert_allclose(np.asarray(got[:2]), np.asarray(want[:2]),
+                               atol=1e-5, rtol=1e-5)
+    # The zero-length element softmaxes to uniform.  The kernel's uniform
+    # runs over its internally padded S (40→128 here, with zero-valued
+    # pad keys), so it equals the oracle scaled by S/S_pad — the
+    # documented, harmless divergence (those rows are dropped by the
+    # length-masked pooling downstream).
+    np.testing.assert_allclose(np.asarray(got[2]),
+                               np.asarray(want[2]) * (40 / 128),
+                               atol=1e-5, rtol=1e-5)
