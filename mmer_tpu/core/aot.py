@@ -135,6 +135,55 @@ def aot_cached_compile(fn, example_args: tuple, key: str,
     return compiled
 
 
+class AotJit:
+    """Drop-in for ``jax.jit(fn)`` that AOT-caches one executable per
+    argument-aval signature.
+
+    First call at a new signature compiles (or deserializes) via
+    :func:`aot_cached_compile`; later calls dispatch on a host-side
+    shape/dtype table.  Restrictions vs ``jax.jit``: positional array
+    args only (no kwargs / static args / python-scalar promotion), and
+    no sharding annotations — the multi-device extractor paths keep
+    plain ``jit`` (their HLO is Mosaic-free, so the standard persistent
+    cache already covers them).
+
+    ``enabled=None`` auto-disables on the CPU backend, where XLA:CPU's
+    AOT loader rejects same-machine feature strings (measured — see
+    ``aot_cached_compile``'s validation step); everything then routes
+    through a plain ``jax.jit`` fallback.
+    """
+
+    def __init__(self, fn, key: str, enabled: bool | None = None,
+                 cache_dir: str | None = None):
+        self._fn = fn
+        self._key = key
+        self._cache_dir = cache_dir
+        self._enabled = enabled
+        self._jit_fn = None
+        self._table: dict = {}
+
+    def _resolve_enabled(self) -> bool:
+        if self._enabled is None:
+            self._enabled = jax.default_backend() != "cpu"
+        return self._enabled
+
+    def __call__(self, *args):
+        leaves = jax.tree_util.tree_leaves(args)
+        sig = tuple((tuple(x.shape), str(getattr(x, "dtype", type(x))))
+                    for x in leaves)
+        fn = self._table.get(sig)
+        if fn is None:
+            if self._resolve_enabled():
+                fn = aot_cached_compile(self._fn, args, self._key,
+                                        cache_dir=self._cache_dir)
+            else:
+                if self._jit_fn is None:
+                    self._jit_fn = jax.jit(self._fn)
+                fn = self._jit_fn
+            self._table[sig] = fn
+        return fn(*args)
+
+
 # Imported for effect at module import time so ``jax.experimental
 # .serialize_executable`` resolves as an attribute path above.
 import jax.experimental.serialize_executable  # noqa: E402,F401

@@ -444,8 +444,15 @@ class AudioEmbedder:
                               data_sharding(self.mesh, 2)),
                 out_shardings=data_sharding(self.mesh, 2))
         else:
+            from mmer_tpu.core.aot import AotJit
             self._n_data = 1
-            self._apply_pool = jax.jit(apply_pool)
+            # AOT-cached on TPU: the conv-pyramid/fused-FFN Mosaic custom
+            # calls make the XLA persistent-cache key process-unstable, so
+            # a serialized executable is the only restart-proof cache for
+            # the Pallas path (core/aot.py; plain jit on CPU).
+            self._apply_pool = AotJit(
+                apply_pool, key=f"w2v2-embed-"
+                f"{'pallas' if use_pallas else 'xla'}")
 
     def _seeded_params(self) -> dict:
         # Jitted: eager init dispatches hundreds of param ops one by one

@@ -88,8 +88,15 @@ class VideoFeatureExtractor:
                               data_sharding(mesh, 5)),
                 out_shardings=data_sharding(mesh, 2))
         else:
+            from mmer_tpu.core.aot import AotJit
             self.device_batch = device_batch
-            self._apply = jax.jit(_embed)
+            # AOT-cached on TPU (plain jit on CPU): a restart re-pays the
+            # Pallas ViViT's 131-700 s Mosaic compile otherwise — its
+            # custom call makes the XLA persistent-cache key
+            # process-unstable (core/aot.py, serve/engine.py notes).
+            self._apply = AotJit(
+                _embed, key=f"vivit-extract-"
+                f"{'flash' if use_flash else 'xla'}")
 
     def embed_chunks(self, chunks) -> np.ndarray:
         """(N, F, H, W, C) float32 in [0,1] or raw uint8 → (N, 768); pads N
