@@ -1,0 +1,87 @@
+"""int8 quantization primitives + quantized ViViT agreement with the
+float path (ops/quant.py, models/vivit_quant.py)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mmer_tpu.config import ViViTConfig
+from mmer_tpu.models.vivit import init_vivit_params
+from mmer_tpu.models.vivit_quant import (quant_vivit_apply,
+                                         quantize_vivit_params)
+from mmer_tpu.ops.quant import (qdot, qdot_u8, quantize_weight,
+                                u8_correction)
+
+
+def test_quantize_weight_round_trip():
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    wq, ws = quantize_weight(jnp.asarray(w))
+    assert wq.dtype == jnp.int8
+    deq = np.asarray(wq, np.float32) * np.asarray(ws)
+    # absmax symmetric: max per-column error is half a quant step
+    step = np.asarray(ws)[0]
+    assert np.all(np.abs(deq - w) <= step / 2 + 1e-7)
+
+
+def test_qdot_matches_float_within_quant_error():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(8, 64)).astype(np.float32)
+    w = rng.normal(size=(64, 32)).astype(np.float32)
+    wq, ws = quantize_weight(jnp.asarray(w))
+    got = np.asarray(qdot(jnp.asarray(x), wq, ws))
+    want = x @ w
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel
+
+
+def test_qdot_u8_pixel_path_is_exact_in_activations():
+    """The uint8 patchify path has NO activation quantization: with an
+    exactly-representable weight matrix the result is exact."""
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, 256, size=(4, 96), dtype=np.uint8)
+    # weights already on the int8 grid → dequantization is exact
+    wq = rng.integers(-127, 128, size=(96, 16), dtype=np.int8)
+    ws = jnp.full((1, 16), 0.01, jnp.float32)
+    corr = u8_correction(jnp.asarray(wq))
+    got = np.asarray(qdot_u8(jnp.asarray(x), jnp.asarray(wq), ws, corr))
+    want = (x.astype(np.float64) / 255.0) @ (wq.astype(np.float64) * 0.01)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def small_vivit():
+    cfg = ViViTConfig(num_frames=8, image_size=(32, 32), depth=2, dim=64,
+                      heads=4, dim_head=16, mlp_dim=128)
+    model, params = init_vivit_params(cfg, use_flash=False)
+    return cfg, model, params
+
+
+def test_quant_vivit_agrees_with_float_path(small_vivit):
+    cfg, model, params = small_vivit
+    rng = np.random.default_rng(0)
+    x_u8 = (rng.random((2, 8, 32, 32, 3)) * 255).astype(np.uint8)
+
+    ref = np.asarray(model.apply(
+        params, jnp.asarray(x_u8).astype(jnp.float32) / 255.0))
+    q = quantize_vivit_params(params)
+    got = np.asarray(quant_vivit_apply(q, jnp.asarray(x_u8), cfg,
+                                       use_flash=False))
+    cos = np.sum(ref * got, axis=1) / (
+        np.linalg.norm(ref, axis=1) * np.linalg.norm(got, axis=1))
+    assert np.all(cos > 0.999), cos
+    rel = (np.linalg.norm(ref - got, axis=1)
+           / np.linalg.norm(ref, axis=1))
+    assert np.all(rel < 0.05), rel
+
+
+def test_quant_vivit_deterministic(small_vivit):
+    cfg, _, params = small_vivit
+    rng = np.random.default_rng(3)
+    x_u8 = (rng.random((1, 8, 32, 32, 3)) * 255).astype(np.uint8)
+    q = quantize_vivit_params(params)
+    a = np.asarray(quant_vivit_apply(q, jnp.asarray(x_u8), cfg,
+                                     use_flash=False))
+    b = np.asarray(quant_vivit_apply(q, jnp.asarray(x_u8), cfg,
+                                     use_flash=False))
+    np.testing.assert_array_equal(a, b)
