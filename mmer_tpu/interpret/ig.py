@@ -51,13 +51,13 @@ def _quadrature(n_steps: int, method: str) -> Tuple[np.ndarray, np.ndarray]:
     raise ValueError(f"unknown quadrature method {method}")
 
 
-@partial(jax.jit, static_argnames=("apply_fn", "n_steps", "method"))
-def integrated_gradients(apply_fn: Callable, params, video: jnp.ndarray,
-                         audio: jnp.ndarray, mask: Optional[jnp.ndarray],
-                         targets: jnp.ndarray, n_steps: int = 50,
-                         method: str = "gausslegendre"
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """IG attributions wrt a zeros baseline.
+def integrated_gradients_impl(apply_fn: Callable, params, video: jnp.ndarray,
+                              audio: jnp.ndarray, mask: Optional[jnp.ndarray],
+                              targets: jnp.ndarray, n_steps: int = 50,
+                              method: str = "gausslegendre"
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """IG attributions wrt a zeros baseline (unjitted body — the serving
+    engine AOT-caches a closure over it, core/aot.py).
 
     apply_fn(params, video, audio, mask) -> logits.  All integration steps
     run as one batched forward+backward: inputs are scaled to (S·B, ...).
@@ -85,6 +85,11 @@ def integrated_gradients(apply_fn: Callable, params, video: jnp.ndarray,
     avg_v = jnp.einsum("s,s...->...", weights, gv)
     avg_a = jnp.einsum("s,s...->...", weights, ga)
     return video * avg_v, audio * avg_a
+
+
+integrated_gradients = partial(
+    jax.jit, static_argnames=("apply_fn", "n_steps", "method")
+)(integrated_gradients_impl)
 
 
 def compute_attributions(apply_fn: Callable, params, video, audio,

@@ -89,6 +89,7 @@ class InferenceEngine:
         self._audio_embedder = None
         self._fusion = None          # (model, params, jitted apply)
         self._fusion_logits_fn = None
+        self._ig_fn = None
 
     # -- lazy singletons (reference get_*_model, inference.py:39-265) -----
     @property
@@ -144,8 +145,13 @@ class InferenceEngine:
                 raise FileNotFoundError(
                     f"fusion checkpoint not found: {self.fusion_params_path}"
                 )  # loud, unlike the reference's silent random-weight serve
-            apply = jax.jit(model.apply, static_argnames=("train",
-                                                          "return_attn"))
+            # AOT-cached (core/aot.py): skips per-process tracing+lowering
+            # on restart too, not just backend compiles; every engine call
+            # site is 4-positional (train/return_attn stay at their
+            # defaults), which is AotJit's contract.
+            from mmer_tpu.core.aot import AotJit
+            apply = AotJit(lambda p, v, a, m: model.apply(p, v, a, m),
+                           key="fusion-serve")
             self._fusion = (model, params, apply)
         return self._fusion
 
@@ -164,6 +170,24 @@ class InferenceEngine:
 
             self._fusion_logits_fn = logits_fn
         return self._fusion_logits_fn
+
+    @property
+    def ig_fn(self):
+        """AOT-cached IG attribution graph: (params, video, audio, mask,
+        targets) → (attr_video, attr_audio), n_steps=50 gausslegendre —
+        the serving-default ``compute_attributions`` shape with the
+        predicted-class targets supplied by the caller (the engine already
+        has the window probs, so the extra argmax forward the generic
+        helper runs is skipped)."""
+        if self._ig_fn is None:
+            from mmer_tpu.core.aot import AotJit
+            from mmer_tpu.interpret.ig import integrated_gradients_impl
+            lf = self.fusion_logits_fn
+            self._ig_fn = AotJit(
+                lambda p, v, a, m, t: integrated_gradients_impl(
+                    lf, p, v, a, m, t, 50, "gausslegendre"),
+                key="ig-serve")
+        return self._ig_fn
 
     # ------------------------------------------------------------------
     def _normalize(self, video_feats: np.ndarray, audio_feats: np.ndarray):
@@ -307,12 +331,15 @@ class InferenceEngine:
                 probs_all[starts] = np.asarray(probs)
 
                 if explain:
-                    from mmer_tpu.interpret import (aggregate_importances,
-                                                    compute_attributions)
+                    from mmer_tpu.interpret import aggregate_importances
 
-                    av, aa = compute_attributions(self.fusion_logits_fn,
-                                                  params,
-                                                  video_w, audio_w, mask)
+                    # Targets = predicted class (the generic
+                    # compute_attributions default) — already known from
+                    # the window probs, softmax being monotonic.
+                    targets = np.argmax(np.asarray(probs), axis=-1
+                                        ).astype(np.int32)
+                    av, aa = self.ig_fn(params, video_w, audio_w, mask,
+                                        targets)
                     vi, ai = aggregate_importances(av, aa)
                     vi, ai = np.asarray(vi), np.asarray(ai)
                     for row, s in enumerate(starts):
@@ -406,9 +433,9 @@ class InferenceEngine:
             jax.block_until_ready(apply(params, video_w, audio_w, mask))
             phase(f"fusion graph wl={wl}")
             if explain:
-                from mmer_tpu.interpret import compute_attributions
-                jax.block_until_ready(compute_attributions(
-                    self.fusion_logits_fn, params, video_w, audio_w, mask))
+                jax.block_until_ready(self.ig_fn(
+                    params, video_w, audio_w, mask,
+                    np.zeros((1,), np.int32)))
                 phase(f"IG graph wl={wl}")
         # Startup-phase breakdown (VERDICT r2 #5): where a restart's
         # wall-clock actually goes, phase by phase.
