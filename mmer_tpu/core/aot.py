@@ -163,6 +163,8 @@ class AotJit:
         self._table: dict = {}
 
     def _resolve_enabled(self) -> bool:
+        if os.environ.get("MMER_AOT_DISABLE"):     # ops kill-switch
+            return False
         if self._enabled is None:
             self._enabled = jax.default_backend() != "cpu"
         return self._enabled
