@@ -1,0 +1,53 @@
+"""One-process runner for the round-3 on-chip experiment queue.
+
+This environment charges a 130-860 s (sometimes hours, during relay
+outages) per-process device-session tax, so every pending measurement
+runs in ONE process, each stage isolated by try/except:
+
+  1. probe_aot save      — AOT executable serialization viability (axon)
+  2. probe_int8          — raw int8 vs bf16 GEMM throughput
+  3. probe_int8_vivit    — full quantized ViViT vs production path
+                           (also exercises the AotJit extractor wiring)
+  4. probe_w2v2_flash    — Wav2Vec2 attention XLA vs flash A/B
+
+The cross-process AOT *load* leg must run as a separate process:
+    python scripts/probe_aot.py load
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+
+def stage(name, fn):
+    print(f"\n======== {name} ========", flush=True)
+    t0 = time.time()
+    try:
+        fn()
+        print(f"-------- {name} done in {time.time() - t0:.1f}s",
+              flush=True)
+    except Exception:
+        traceback.print_exc()
+        print(f"-------- {name} FAILED after {time.time() - t0:.1f}s",
+              flush=True)
+
+
+def main():
+    import scripts.probe_aot as aot
+    import scripts.probe_int8 as p8
+    import scripts.probe_int8_vivit as p8v
+    import scripts.probe_w2v2_flash as w2f
+
+    sys.argv = ["probe_aot.py", "save"]
+    stage("probe_aot save", aot.main)
+    stage("probe_int8 raw GEMMs", p8.main)
+    stage("probe_int8_vivit", p8v.main)
+    stage("probe_w2v2_flash", w2f.main)
+
+
+if __name__ == "__main__":
+    main()
