@@ -179,6 +179,13 @@ class EncoderLayer(nn.Module):
     # despite the tiny FLOP count.  Inference-only (no backward kernel);
     # the extractor never trains.
     use_flash_attn: bool = False
+    # Compute q/k/v with ONE (d, 3d) GEMM over apply-time-concatenated
+    # kernels instead of three (d, d) GEMMs: the separate projections each
+    # re-read the (B·S, d) activations from HBM (~26 MB/layer at B=64),
+    # one GEMM reads them once.  Params stay in the per-projection HF
+    # layout so ``convert_hf_state`` is untouched; numerics are identical
+    # (same K dim, concatenation only widens N).  XLA-level, no Pallas.
+    use_fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -192,11 +199,24 @@ class EncoderLayer(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm_attn")(x)
         yd = y.astype(dt)
 
-        def proj(name):
-            return nn.DenseGeneral((h, hd), axis=-1, dtype=dt,
-                                   param_dtype=jnp.float32, name=name)(yd)
+        if self.use_fused_qkv and not self.is_initializing():
+            p = self.variables["params"]
+            w = jnp.concatenate(
+                [p[n]["kernel"].reshape(d, d) for n in ("q", "k", "v")],
+                axis=1).astype(dt)
+            b = jnp.concatenate(
+                [p[n]["bias"].reshape(d) for n in ("q", "k", "v")]
+            ).astype(dt)
+            qkv = yd @ w + b
+            q, k, v = (t.reshape(*t.shape[:-1], h, hd)
+                       for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            def proj(name):
+                return nn.DenseGeneral((h, hd), axis=-1, dtype=dt,
+                                       param_dtype=jnp.float32,
+                                       name=name)(yd)
 
-        q, k, v = proj("q"), proj("k"), proj("v")
+            q, k, v = proj("q"), proj("k"), proj("v")
         if self.use_flash_attn and not self.is_initializing():
             from mmer_tpu.ops.flash_attention import flash_attention
             key_lens = None
@@ -264,6 +284,9 @@ class Wav2Vec2Encoder(nn.Module):
     # None → follow use_pallas; explicit False keeps the measured-win
     # conv/FFN fusions while attention stays on XLA.
     use_flash_attn: Optional[bool] = None
+    # One-GEMM q/k/v projection (see EncoderLayer.use_fused_qkv).  OFF by
+    # default until scripts/probe_w2v2_qkv.py measures a win on chip.
+    use_fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray,
@@ -286,6 +309,7 @@ class Wav2Vec2Encoder(nn.Module):
         for i in range(cfg.num_layers):
             x = EncoderLayer(cfg, use_fused_ffn=self.use_pallas,
                              use_flash_attn=flash,
+                             use_fused_qkv=self.use_fused_qkv,
                              name=f"layer_{i}")(x, frame_pad_mask)
         x = nn.LayerNorm(dtype=jnp.float32, name="final_norm")(x)
         return x
@@ -391,7 +415,8 @@ class AudioEmbedder:
                  params: Optional[dict] = None,
                  params_path: Optional[str] = None,
                  mesh=None,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 use_fused_qkv: bool = False):
         cfg = cfg or Wav2Vec2Config()
         self.cfg = cfg
         # None → fused Pallas kernels on TPU (measured faster,
@@ -406,8 +431,11 @@ class AudioEmbedder:
         # Flash attention stays OFF here until its on-chip A/B lands
         # (repo rule: only measured wins get routed); the conv-pyramid and
         # fused-FFN kernels are the measured-faster paths.
+        # use_fused_qkv: one-GEMM q/k/v projections — OFF until
+        # scripts/probe_w2v2_qkv.py measures it on chip (same repo rule).
         self.model = Wav2Vec2Encoder(cfg, use_pallas=use_pallas,
-                                     use_flash_attn=False)
+                                     use_flash_attn=False,
+                                     use_fused_qkv=use_fused_qkv)
         if params is None and params_path:
             from mmer_tpu.train.checkpoint import load_params_msgpack
             target = self._seeded_params()

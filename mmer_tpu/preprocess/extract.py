@@ -47,7 +47,8 @@ class VideoFeatureExtractor:
                  device_batch: int = 8,
                  params_path: Optional[str] = None,
                  use_flash: bool = True,
-                 mesh=None):
+                 mesh=None,
+                 precision: str = "bf16"):
         import jax
         import jax.numpy as jnp
 
@@ -55,23 +56,53 @@ class VideoFeatureExtractor:
         from mmer_tpu.train.checkpoint import (load_params_msgpack,
                                                save_params_msgpack)
 
+        if precision not in ("bf16", "int8"):
+            raise ValueError(f"precision must be bf16|int8, got {precision}")
         self.cfg = cfg or ViViTConfig()
         self._jnp = jnp
+        self.precision = precision
         model, params = init_vivit_params(self.cfg, use_flash=use_flash)
         if params_path:
             if os.path.exists(params_path):
                 params = load_params_msgpack(params_path, params)
             else:
                 save_params_msgpack(params_path, params)
+        # The float tree stays the single source of truth (persisted
+        # checkpoint contract) even when the int8 side table drives the
+        # forward pass.
         self.params = params
 
-        def _embed(p, x):
-            # uint8 frames are normalized ON DEVICE: 4× less host→device
-            # transfer than pre-scaled float32 (the XLA cast+mul fuses into
-            # the tubelet GEMM's prologue).
-            if x.dtype == jnp.uint8:
-                x = x.astype(jnp.float32) / 255.0
-            return model.apply(p, x)
+        if precision == "int8":
+            # int8-GEMM forward (models/vivit_quant.py): same seeded
+            # params, per-token activation scales; the uint8 pixel path
+            # is exact, so device-normalized float input is first
+            # re-quantized to the identical uint8 the serving crop path
+            # produces.  Single-device only — the extraction fan-out
+            # keeps bf16 (its HLO is Mosaic-free and already cached).
+            if mesh is not None and mesh.size > 1:
+                raise ValueError("precision='int8' supports the "
+                                 "single-device path only")
+            from mmer_tpu.models.vivit_quant import (quant_vivit_apply,
+                                                     quantize_vivit_params)
+            self._run_params = jax.tree_util.tree_map(
+                jnp.asarray, quantize_vivit_params(params))
+
+            def _embed(qp, x):
+                if x.dtype != jnp.uint8:
+                    x = jnp.clip(jnp.round(x * 255.0), 0, 255
+                                 ).astype(jnp.uint8)
+                return quant_vivit_apply(qp, x, self.cfg,
+                                         use_flash=use_flash)
+        else:
+            self._run_params = params
+
+            def _embed(p, x):
+                # uint8 frames are normalized ON DEVICE: 4× less
+                # host→device transfer than pre-scaled float32 (the XLA
+                # cast+mul fuses into the tubelet GEMM's prologue).
+                if x.dtype == jnp.uint8:
+                    x = x.astype(jnp.float32) / 255.0
+                return model.apply(p, x)
 
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is not None:
@@ -82,6 +113,7 @@ class VideoFeatureExtractor:
             # an identical per-chip block (one compiled program).
             self.device_batch = -(-device_batch // n_data) * n_data
             self.params = jax.device_put(params, replicated_sharding(mesh))
+            self._run_params = self.params
             self._apply = jax.jit(
                 _embed,
                 in_shardings=(replicated_sharding(mesh),
@@ -95,7 +127,7 @@ class VideoFeatureExtractor:
             # custom call makes the XLA persistent-cache key
             # process-unstable (core/aot.py, serve/engine.py notes).
             self._apply = AotJit(
-                _embed, key=f"vivit-extract-"
+                _embed, key=f"vivit-extract-{precision}-"
                 f"{'flash' if use_flash else 'xla'}")
 
     def embed_chunks(self, chunks) -> np.ndarray:
@@ -113,7 +145,7 @@ class VideoFeatureExtractor:
             if block.shape[0] < bs:
                 pad = xp.repeat(block[-1:], bs - block.shape[0], axis=0)
                 block = xp.concatenate([block, pad], axis=0)
-            feats = self._apply(self.params, jnp.asarray(block))
+            feats = self._apply(self._run_params, jnp.asarray(block))
             out.append(np.asarray(feats))
         return np.concatenate(out)[:n]
 
@@ -470,6 +502,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="persisted ViViT params (created on first use)")
     pv.add_argument("--mesh", action="store_true",
                     help="shard chunk batches over all devices (dp mesh)")
+    pv.add_argument("--precision", choices=("bf16", "int8"), default="bf16",
+                    help="int8 routes the quantized-GEMM ViViT "
+                         "(models/vivit_quant.py; single-device only)")
 
     pa = sub.add_parser("audio", help="extract (1024,) audio embeddings")
     pa.add_argument("--input", required=True)
@@ -487,7 +522,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             mesh = create_mesh(MeshConfig())
         extractor = VideoFeatureExtractor(device_batch=args.device_batch,
                                           params_path=args.params,
-                                          mesh=mesh)
+                                          mesh=mesh,
+                                          precision=args.precision)
         extract_video_folder(args.input, args.output, extractor,
                              chunk_size=args.chunk_size)
     else:

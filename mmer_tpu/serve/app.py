@@ -308,6 +308,11 @@ def main():
                              "audio model (same trade as --vivit_flash: "
                              "~4 ms faster per audio batch, restarts "
                              "re-pay its Mosaic compile)")
+    parser.add_argument("--vivit_precision", choices=("bf16", "int8"),
+                        default="bf16",
+                        help="int8 routes the quantized-GEMM ViViT "
+                             "(Mosaic-free with XLA attention; see "
+                             "scripts/probe_int8_vivit.py)")
     parser.add_argument("--max_upload_mb", type=int,
                         default=DEFAULT_MAX_UPLOAD_BYTES >> 20,
                         help="reject uploads larger than this with 413")
@@ -322,7 +327,8 @@ def main():
                              wav_params_path=args.wav_params,
                              norm_stats_path=args.norm_stats,
                              vivit_use_flash=args.vivit_flash,
-                             wav_use_pallas=args.wav_pallas)
+                             wav_use_pallas=args.wav_pallas,
+                             vivit_precision=args.vivit_precision)
     if args.warmup:
         resolutions = []
         for part in filter(None, args.warmup_resolutions.split(",")):

@@ -50,7 +50,8 @@ class InferenceEngine:
                  norm_stats_path: Optional[str] = None,
                  labels: Sequence[str] = LABELS,
                  vivit_use_flash: bool = False,
-                 wav_use_pallas: bool = False):
+                 wav_use_pallas: bool = False,
+                 vivit_precision: str = "bf16"):
         self.model_cfg = model_cfg or ModelConfig()
         self.vivit_cfg = vivit_cfg or ViViTConfig()
         self.wav_cfg = wav_cfg or Wav2Vec2Config()
@@ -79,6 +80,11 @@ class InferenceEngine:
         # compile amortizes over thousands of clips and the 97 vs 145 ms
         # per batch matters.
         self.vivit_use_flash = vivit_use_flash
+        # "int8" routes the quantized-GEMM ViViT (models/vivit_quant.py)
+        # — with XLA attention it is Mosaic-free, a candidate for the
+        # restart-sensitive serving default once measured on chip
+        # (scripts/probe_int8_vivit.py).
+        self.vivit_precision = vivit_precision
         # Same policy for the audio conv encoder's fused Pallas kernels
         # (ops/conv_pyramid.py): XLA by default in serving, opt in with
         # --wav_pallas.  Extraction keeps the fused path (AudioEmbedder's
@@ -105,7 +111,8 @@ class InferenceEngine:
             from mmer_tpu.preprocess.extract import VideoFeatureExtractor
             self._video_extractor = VideoFeatureExtractor(
                 self.vivit_cfg, params_path=self.vivit_params_path,
-                use_flash=self.vivit_use_flash)
+                use_flash=self.vivit_use_flash,
+                precision=self.vivit_precision)
         return self._video_extractor
 
     @property

@@ -84,6 +84,15 @@ def main():
         print(f"   agreement vs bf16: cos {cos.min():.5f}..{cos.max():.5f} "
               f"rel-l2 {rel.mean():.4f}", flush=True)
 
+    # (d) the PRODUCTION routing hook: VideoFeatureExtractor(precision=
+    # "int8") — quantized side table + AotJit wrapping, uint8 in.
+    exq = VideoFeatureExtractor(cfg, device_batch=B, use_flash=True,
+                                precision="int8")
+    t_route = timed(lambda x: exq._apply(exq._run_params, x), batches)
+    print(f"int8 extractor hook  : {t_route * 1e3:7.1f} ms  "
+          f"{B / t_route:6.1f} chunks/s  speedup {t_bf16 / t_route:4.2f}x",
+          flush=True)
+
 
 if __name__ == "__main__":
     main()

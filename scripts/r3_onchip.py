@@ -9,6 +9,7 @@ runs in ONE process, each stage isolated by try/except:
   3. probe_int8_vivit    — full quantized ViViT vs production path
                            (also exercises the AotJit extractor wiring)
   4. probe_w2v2_flash    — Wav2Vec2 attention XLA vs flash A/B
+  5. probe_w2v2_qkv      — separate vs one-GEMM q/k/v projections
 
 The cross-process AOT *load* leg must run as a separate process:
     python scripts/probe_aot.py load
@@ -41,12 +42,14 @@ def main():
     import scripts.probe_int8 as p8
     import scripts.probe_int8_vivit as p8v
     import scripts.probe_w2v2_flash as w2f
+    import scripts.probe_w2v2_qkv as w2q
 
     sys.argv = ["probe_aot.py", "save"]
     stage("probe_aot save", aot.main)
     stage("probe_int8 raw GEMMs", p8.main)
     stage("probe_int8_vivit", p8v.main)
     stage("probe_w2v2_flash", w2f.main)
+    stage("probe_w2v2_qkv", w2q.main)
 
 
 if __name__ == "__main__":

