@@ -77,11 +77,9 @@ class VideoFeatureExtractor:
             # params, per-token activation scales; the uint8 pixel path
             # is exact, so device-normalized float input is first
             # re-quantized to the identical uint8 the serving crop path
-            # produces.  Single-device only — the extraction fan-out
-            # keeps bf16 (its HLO is Mosaic-free and already cached).
-            if mesh is not None and mesh.size > 1:
-                raise ValueError("precision='int8' supports the "
-                                 "single-device path only")
+            # produces.  Composes with the mesh fan-out below — the int8
+            # side table is replicated exactly like the float params
+            # (batch-sharded IO, zero collectives).
             from mmer_tpu.models.vivit_quant import (quant_vivit_apply,
                                                      quantize_vivit_params)
             self._run_params = jax.tree_util.tree_map(
@@ -113,7 +111,10 @@ class VideoFeatureExtractor:
             # an identical per-chip block (one compiled program).
             self.device_batch = -(-device_batch // n_data) * n_data
             self.params = jax.device_put(params, replicated_sharding(mesh))
-            self._run_params = self.params
+            self._run_params = (
+                self.params if precision == "bf16"
+                else jax.device_put(self._run_params,
+                                    replicated_sharding(mesh)))
             self._apply = jax.jit(
                 _embed,
                 in_shardings=(replicated_sharding(mesh),
@@ -504,7 +505,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="shard chunk batches over all devices (dp mesh)")
     pv.add_argument("--precision", choices=("bf16", "int8"), default="bf16",
                     help="int8 routes the quantized-GEMM ViViT "
-                         "(models/vivit_quant.py; single-device only)")
+                         "(models/vivit_quant.py; composes with --mesh)")
 
     pa = sub.add_parser("audio", help="extract (1024,) audio embeddings")
     pa.add_argument("--input", required=True)

@@ -119,14 +119,29 @@ def test_extractor_precision_int8_routing(tmp_path):
     np.testing.assert_allclose(q2, q, atol=1e-6)
 
 
-def test_extractor_precision_int8_rejects_mesh():
-    from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+def test_extractor_precision_int8_mesh_matches_single(tmp_path):
+    """int8 composes with the extraction mesh fan-out: the quantized
+    side table is replicated like the float params, the uint8 chunk
+    batch is sharded over the data axis, and the sharded outputs equal
+    the single-device int8 outputs exactly."""
     from mmer_tpu.core.mesh import create_mesh
+    from mmer_tpu.preprocess.extract import VideoFeatureExtractor
 
     mesh = create_mesh()
     if mesh.size <= 1:
         pytest.skip("needs a multi-device mesh")
     cfg = ViViTConfig(num_frames=8, image_size=(32, 32), depth=2, dim=64,
-                      heads=4, dim_head=16, mlp_dim=128)
-    with pytest.raises(ValueError):
-        VideoFeatureExtractor(cfg, mesh=mesh, precision="int8")
+                      heads=4, dim_head=16, mlp_dim=128,
+                      compute_dtype="float32")
+    path = str(tmp_path / "vivit.msgpack")
+    single = VideoFeatureExtractor(cfg, device_batch=8, use_flash=False,
+                                   params_path=path, precision="int8")
+    sharded = VideoFeatureExtractor(cfg, device_batch=8, use_flash=False,
+                                    params_path=path, precision="int8",
+                                    mesh=mesh)
+
+    rng = np.random.default_rng(6)
+    vid = rng.integers(0, 256, size=(11, 8, 32, 32, 3), dtype=np.uint8)
+    a = single.embed_chunks(vid)
+    b = sharded.embed_chunks(vid)
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)
