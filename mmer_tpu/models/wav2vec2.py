@@ -416,9 +416,13 @@ class AudioEmbedder:
                  params_path: Optional[str] = None,
                  mesh=None,
                  use_pallas: Optional[bool] = None,
-                 use_fused_qkv: bool = False):
+                 use_fused_qkv: bool = False,
+                 precision: str = "bf16"):
         cfg = cfg or Wav2Vec2Config()
         self.cfg = cfg
+        if precision not in ("bf16", "int8"):
+            raise ValueError(f"precision must be bf16|int8, got {precision}")
+        self.precision = precision
         # None → fused Pallas kernels on TPU (measured faster,
         # scripts/profile_conv_pyramid.py), plain XLA elsewhere (CPU tests
         # and the virtual-mesh dryrun keep the portable path; serving
@@ -444,11 +448,36 @@ class AudioEmbedder:
             params = self._seeded_params()
         self.params = params
 
+        if precision == "int8":
+            # int8 transformer GEMMs (models/wav2vec2_quant.py); the
+            # float tree stays the checkpoint source of truth and rides
+            # along for the conv/LN/bias float path.  Routing stays
+            # probe-gated (scripts/probe_int8_w2v2.py) — these weights
+            # carry trained information once the real checkpoint is
+            # ported, unlike the ViViT's random projection.
+            from mmer_tpu.models.wav2vec2_quant import (quantize_w2v2_params,
+                                                        quant_w2v2_apply)
+            self._run_params = {"p": self.params,
+                                "q": jax.tree_util.tree_map(
+                                    jnp.asarray,
+                                    quantize_w2v2_params(self.params))}
+            _pyramid = use_pallas
+
+            def forward(rp, waves, frame_mask):
+                return quant_w2v2_apply(rp["q"], rp["p"], waves,
+                                        frame_mask, cfg,
+                                        use_pyramid=_pyramid)
+        else:
+            self._run_params = self.params
+
+            def forward(rp, waves, frame_mask):
+                return self.model.apply(rp, waves, frame_mask)
+
         def apply_pool(p, waves, frame_mask):
             """Full model + masked mean-pool + L2 norm ON DEVICE — only the
             (B, 1024) embeddings ever cross to host (pooling on host would
             ship the entire (B, T, 1024) hidden tensor per batch)."""
-            hidden = self.model.apply(p, waves, frame_mask)
+            hidden = forward(p, waves, frame_mask)
             keep = (~frame_mask)[:, :, None].astype(hidden.dtype)
             summed = jnp.sum(hidden * keep, axis=1)
             emb = summed / jnp.maximum(jnp.sum(keep, axis=1), 1.0)
@@ -465,6 +494,10 @@ class AudioEmbedder:
             self._n_data = self.mesh.devices.shape[0]
             self.params = jax.device_put(self.params,
                                          replicated_sharding(self.mesh))
+            self._run_params = (
+                self.params if precision == "bf16"
+                else jax.device_put(self._run_params,
+                                    replicated_sharding(self.mesh)))
             self._apply_pool = jax.jit(
                 apply_pool,
                 in_shardings=(replicated_sharding(self.mesh),
@@ -479,7 +512,7 @@ class AudioEmbedder:
             # a serialized executable is the only restart-proof cache for
             # the Pallas path (core/aot.py; plain jit on CPU).
             self._apply_pool = AotJit(
-                apply_pool, key=f"w2v2-embed-"
+                apply_pool, key=f"w2v2-embed-{precision}-"
                 f"{'pallas' if use_pallas else 'xla'}")
 
     def _seeded_params(self) -> dict:
@@ -511,7 +544,7 @@ class AudioEmbedder:
                 [waves, np.repeat(waves[-1:], n_pad - n, axis=0)])
             mask = np.concatenate(
                 [mask, np.repeat(mask[-1:], n_pad - n, axis=0)])
-        emb = self._apply_pool(self.params, jnp.asarray(waves),
+        emb = self._apply_pool(self._run_params, jnp.asarray(waves),
                                jnp.asarray(mask))
         return np.asarray(emb, np.float32)[:n]
 

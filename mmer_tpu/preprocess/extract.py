@@ -389,7 +389,8 @@ def extract_video_folder(input_dir: str, output_dir: str,
 def extract_audio_folder(input_dir: str, output_dir: str,
                          cfg: Optional[Wav2Vec2Config] = None,
                          batch_size: int = 64,
-                         verbose: bool = True) -> int:
+                         verbose: bool = True,
+                         precision: str = "bf16") -> int:
     """Audio twin of :func:`extract_video_folder` (reference
     voice_extractor.py:53-146): decode → 16 kHz mono → Wav2Vec2 embed →
     L2-normalized (1024,) float16 npy with dataset-specific renaming.
@@ -402,7 +403,7 @@ def extract_audio_folder(input_dir: str, output_dir: str,
     from mmer_tpu.preprocess.audio import audio_output_name
 
     cfg = cfg or Wav2Vec2Config()
-    embedder = AudioEmbedder(cfg)
+    embedder = AudioEmbedder(cfg, precision=precision)
     count = 0
     for path, emb in iter_audio_embeddings(input_dir, embedder, batch_size,
                                            verbose):
@@ -511,6 +512,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     pa.add_argument("--input", required=True)
     pa.add_argument("--output", required=True)
     pa.add_argument("--batch_size", type=int, default=8)
+    pa.add_argument("--precision", choices=("bf16", "int8"), default="bf16",
+                    help="int8 routes the quantized-GEMM Wav2Vec2 "
+                         "transformer (models/wav2vec2_quant.py)")
 
     args = parser.parse_args(argv)
     from mmer_tpu.core.cache import enable_persistent_cache
@@ -529,7 +533,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                              chunk_size=args.chunk_size)
     else:
         extract_audio_folder(args.input, args.output,
-                             batch_size=args.batch_size)
+                             batch_size=args.batch_size,
+                             precision=args.precision)
 
 
 if __name__ == "__main__":

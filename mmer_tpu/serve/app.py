@@ -313,6 +313,10 @@ def main():
                         help="int8 routes the quantized-GEMM ViViT "
                              "(Mosaic-free with XLA attention; see "
                              "scripts/probe_int8_vivit.py)")
+    parser.add_argument("--wav_precision", choices=("bf16", "int8"),
+                        default="bf16",
+                        help="int8 routes the quantized-GEMM Wav2Vec2 "
+                             "transformer (scripts/probe_int8_w2v2.py)")
     parser.add_argument("--max_upload_mb", type=int,
                         default=DEFAULT_MAX_UPLOAD_BYTES >> 20,
                         help="reject uploads larger than this with 413")
@@ -328,7 +332,8 @@ def main():
                              norm_stats_path=args.norm_stats,
                              vivit_use_flash=args.vivit_flash,
                              wav_use_pallas=args.wav_pallas,
-                             vivit_precision=args.vivit_precision)
+                             vivit_precision=args.vivit_precision,
+                             wav_precision=args.wav_precision)
     if args.warmup:
         resolutions = []
         for part in filter(None, args.warmup_resolutions.split(",")):

@@ -51,7 +51,8 @@ class InferenceEngine:
                  labels: Sequence[str] = LABELS,
                  vivit_use_flash: bool = False,
                  wav_use_pallas: bool = False,
-                 vivit_precision: str = "bf16"):
+                 vivit_precision: str = "bf16",
+                 wav_precision: str = "bf16"):
         self.model_cfg = model_cfg or ModelConfig()
         self.vivit_cfg = vivit_cfg or ViViTConfig()
         self.wav_cfg = wav_cfg or Wav2Vec2Config()
@@ -85,6 +86,7 @@ class InferenceEngine:
         # restart-sensitive serving default once measured on chip
         # (scripts/probe_int8_vivit.py).
         self.vivit_precision = vivit_precision
+        self.wav_precision = wav_precision
         # Same policy for the audio conv encoder's fused Pallas kernels
         # (ops/conv_pyramid.py): XLA by default in serving, opt in with
         # --wav_pallas.  Extraction keeps the fused path (AudioEmbedder's
@@ -121,7 +123,8 @@ class InferenceEngine:
             from mmer_tpu.models.wav2vec2 import AudioEmbedder
             self._audio_embedder = AudioEmbedder(
                 self.wav_cfg, params_path=self.wav_params_path,
-                use_pallas=self.wav_use_pallas)
+                use_pallas=self.wav_use_pallas,
+                precision=self.wav_precision)
         return self._audio_embedder
 
     @property

@@ -10,6 +10,7 @@ runs in ONE process, each stage isolated by try/except:
                            (also exercises the AotJit extractor wiring)
   4. probe_w2v2_flash    — Wav2Vec2 attention XLA vs flash A/B
   5. probe_w2v2_qkv      — separate vs one-GEMM q/k/v projections
+  6. probe_int8_w2v2     — int8 vs bf16 Wav2Vec2 transformer
 
 The cross-process AOT *load* leg must run as a separate process:
     python scripts/probe_aot.py load
@@ -43,6 +44,7 @@ def main():
     import scripts.probe_int8_vivit as p8v
     import scripts.probe_w2v2_flash as w2f
     import scripts.probe_w2v2_qkv as w2q
+    import scripts.probe_int8_w2v2 as p8w
 
     sys.argv = ["probe_aot.py", "save"]
     stage("probe_aot save", aot.main)
@@ -50,6 +52,7 @@ def main():
     stage("probe_int8_vivit", p8v.main)
     stage("probe_w2v2_flash", w2f.main)
     stage("probe_w2v2_qkv", w2q.main)
+    stage("probe_int8_w2v2", p8w.main)
 
 
 if __name__ == "__main__":

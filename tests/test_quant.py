@@ -145,3 +145,67 @@ def test_extractor_precision_int8_mesh_matches_single(tmp_path):
     a = single.embed_chunks(vid)
     b = sharded.embed_chunks(vid)
     np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# Wav2Vec2 int8 (models/wav2vec2_quant.py)
+# ---------------------------------------------------------------------------
+
+W2V2_TINY = None  # built lazily (imports torch-free config only)
+
+
+def _w2v2_tiny():
+    from mmer_tpu.config import Wav2Vec2Config
+    return Wav2Vec2Config(
+        hidden_dim=32, num_layers=2, num_heads=2, ffn_dim=64,
+        conv_dims=(16, 16), conv_strides=(5, 2), conv_kernels=(10, 3),
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=4,
+        compute_dtype="float32")
+
+
+def test_quant_w2v2_agrees_with_float_path():
+    import jax
+
+    from mmer_tpu.models.wav2vec2 import (Wav2Vec2Encoder,
+                                          feat_extract_output_length)
+    from mmer_tpu.models.wav2vec2_quant import (quant_w2v2_apply,
+                                                quantize_w2v2_params)
+
+    cfg = _w2v2_tiny()
+    rng = np.random.default_rng(11)
+    wave = jnp.asarray(rng.normal(size=(3, 3200)), jnp.float32)
+    t = feat_extract_output_length(cfg, 3200)
+    pad = jnp.zeros((3, t), bool).at[2, t // 2:].set(True)
+
+    model = Wav2Vec2Encoder(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0)}, wave)
+    want = np.asarray(model.apply(params, wave, pad))
+
+    q = quantize_w2v2_params(params)
+    got = np.asarray(quant_w2v2_apply(q, params, wave, pad, cfg))
+
+    assert got.shape == want.shape
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel
+    # padded frames must agree exactly in masking behavior: the pooled
+    # embedding downstream only reads unmasked rows, but check rows are
+    # finite everywhere (fully-masked-row -1e9 semantics preserved)
+    assert np.all(np.isfinite(got))
+
+
+def test_audio_embedder_precision_int8_routing():
+    from mmer_tpu.models.wav2vec2 import AudioEmbedder
+
+    cfg = _w2v2_tiny()
+    emb_f = AudioEmbedder(cfg, use_pallas=False)
+    emb_q = AudioEmbedder(cfg, use_pallas=False, precision="int8",
+                          params=emb_f.params)
+
+    rng = np.random.default_rng(12)
+    waves = [rng.normal(size=(3200 + 700 * i,)).astype(np.float32)
+             for i in range(3)]
+    f = emb_f.embed_batch(waves)
+    q = emb_q.embed_batch(waves)
+    assert f.shape == q.shape == (3, cfg.hidden_dim)
+    cos = np.sum(f * q, axis=1)        # both rows are L2-normalized
+    assert np.all(cos > 0.995), cos
