@@ -209,3 +209,22 @@ def test_audio_embedder_precision_int8_routing():
     assert f.shape == q.shape == (3, cfg.hidden_dim)
     cos = np.sum(f * q, axis=1)        # both rows are L2-normalized
     assert np.all(cos > 0.995), cos
+
+
+def test_audio_embedder_int8_mesh_matches_single():
+    from mmer_tpu.core.mesh import create_mesh
+    from mmer_tpu.models.wav2vec2 import AudioEmbedder
+
+    mesh = create_mesh()
+    if mesh.size <= 1:
+        pytest.skip("needs a multi-device mesh")
+    cfg = _w2v2_tiny()
+    single = AudioEmbedder(cfg, use_pallas=False, precision="int8")
+    sharded = AudioEmbedder(cfg, use_pallas=False, precision="int8",
+                            params=single.params, mesh=mesh)
+    rng = np.random.default_rng(13)
+    waves = [rng.normal(size=(3200 + 500 * i,)).astype(np.float32)
+             for i in range(11)]
+    a = single.embed_batch(waves)
+    b = sharded.embed_batch(waves)
+    np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)
