@@ -64,7 +64,8 @@ def _fingerprint(example_args) -> str:
 
 
 def aot_cached_compile(fn, example_args: tuple, key: str,
-                       cache_dir: str | None = None):
+                       cache_dir: str | None = None,
+                       want_output: bool = False):
     """Return a ``jax.stages.Compiled`` for ``fn`` at ``example_args``'
     shapes, loading the executable from disk when a matching artifact
     exists and serializing it after a fresh compile otherwise.
@@ -74,6 +75,12 @@ def aot_cached_compile(fn, example_args: tuple, key: str,
     shape variant. ``example_args`` must be real arrays: a loaded
     executable is validated by executing it once on them (some backends
     only fail at first run).
+
+    ``want_output=True`` returns ``(compiled, out_or_None)`` where ``out``
+    is the cache-load validation run's result on ``example_args`` — the
+    caller's first real batch rides the validation execution instead of
+    being computed twice (AotJit does this).  ``out`` is None on the
+    fresh-compile path, which runs nothing.
     """
     cache_dir = cache_dir or _default_cache_dir()
     path = os.path.join(cache_dir, f"{key}-{_fingerprint(example_args)}.aotx")
@@ -103,7 +110,7 @@ def aot_cached_compile(fn, example_args: tuple, key: str,
             import numpy as _np
             _np.asarray(first.ravel()[:1] if first.ndim else first)
             logger.info("aot: loaded %s (no compile)", os.path.basename(path))
-            return compiled
+            return (compiled, out) if want_output else compiled
         except Exception as e:  # stale/foreign artifact → recompile
             logger.warning("aot: failed to load %s (%s); recompiling",
                            os.path.basename(path), e)
@@ -132,7 +139,7 @@ def aot_cached_compile(fn, example_args: tuple, key: str,
             raise
     except Exception as e:  # plugin without serialize support, etc.
         logger.info("aot: serialization unavailable (%s); compile-only", e)
-    return compiled
+    return (compiled, None) if want_output else compiled
 
 
 class AotJit:
@@ -176,13 +183,17 @@ class AotJit:
         fn = self._table.get(sig)
         if fn is None:
             if self._resolve_enabled():
-                fn = aot_cached_compile(self._fn, args, self._key,
-                                        cache_dir=self._cache_dir)
+                fn, out = aot_cached_compile(self._fn, args, self._key,
+                                             cache_dir=self._cache_dir,
+                                             want_output=True)
+                self._table[sig] = fn
+                if out is not None:     # validation run WAS this call
+                    return out
             else:
                 if self._jit_fn is None:
                     self._jit_fn = jax.jit(self._fn)
                 fn = self._jit_fn
-            self._table[sig] = fn
+                self._table[sig] = fn
         return fn(*args)
 
 

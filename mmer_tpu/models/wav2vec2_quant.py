@@ -66,10 +66,13 @@ def quantize_w2v2_params(params) -> dict:
 
 
 def _layernorm(x, scale, bias):
+    # eps 1e-6: flax nn.LayerNorm's default, which every norm in the
+    # float model uses — the agreement numbers must contain only
+    # quantization error.
     x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
 
 
 def quant_w2v2_apply(qparams: dict, params: dict, wave: jnp.ndarray,

@@ -182,7 +182,15 @@ def _pick_ffn_blocks(d: int, m: int, x_itemsize: int,
             scratch = 2 * bt * d * 4 + bt * mcs * 4
             if weights + io + scratch <= _VMEM_BUDGET:
                 return bt, mcs
-    return 64, min(256, m)
+    # Fallback MUST still divide m — the grid uses m // m_chunk, so a
+    # non-divisor would silently drop the hidden-dim tail (e.g. m=384
+    # with chunk 256 computes only 256 units).  Take the largest
+    # divisor ≤ 256; worst case degenerates to small chunks, never to
+    # wrong results.
+    for mcs in range(min(256, m), 0, -1):
+        if m % mcs == 0:
+            return 64, mcs
+    return 64, m
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -196,6 +204,7 @@ def _fused_ffn(x, scale, bias, w1, b1, w2, b2, interpret):
     b, s = 1, b0 * s0
     m = w1.shape[1]
     bt, mcs = _pick_ffn_blocks(d, m, x.dtype.itemsize, w1.dtype.itemsize)
+    assert m % mcs == 0, (m, mcs)
     grid = (b, pl.cdiv(s, bt), m // mcs)
     return pl.pallas_call(
         _ffn_kernel,

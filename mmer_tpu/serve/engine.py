@@ -172,10 +172,16 @@ class InferenceEngine:
         request would recompile the IG graph every time and grow the jit
         cache without bound (ADVICE r1)."""
         if self._fusion_logits_fn is None:
-            _, _, apply = self.fusion
+            model, _, _ = self.fusion
 
+            # Close over the TRACEABLE model.apply, not the AotJit
+            # wrapper: ig_fn differentiates through this closure under
+            # its own trace, and a jax.stages.Compiled can neither be
+            # traced nor grad'd (on TPU the AotJit resolves to one; the
+            # CPU fallback's plain jit masked this in tests).  The
+            # non-explain forward keeps the AotJit fusion graph.
             def logits_fn(p, v, a, m):
-                _, logits, _ = apply(p, v, a, m)
+                _, logits, _ = model.apply(p, v, a, m)
                 return logits
 
             self._fusion_logits_fn = logits_fn

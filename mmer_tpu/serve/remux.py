@@ -124,6 +124,24 @@ def parse_flv(data: bytes, skip_unsupported: bool = False) -> FlvStreams:
                 out.video.append((ts, cts, frame_type == 1, payload))
         elif tag_type == 8 and len(body) >= 1:        # audio
             fmt = body[0] >> 4
+            if fmt in (10, 2, 14):
+                codec = "aac" if fmt == 10 else "mp3"
+                if out.audio_codec is not None and out.audio_codec != codec:
+                    # A spliced/corrupt FLV that changes audio codec
+                    # mid-stream cannot become a single-codec MP4 audio
+                    # track by byte copy.  Strict mode fails loudly so
+                    # the caller routes to the transcode fallback; the
+                    # fallback's own lenient parse keeps the FIRST codec
+                    # and drops the conflicting tags (garbled audio is
+                    # worse than missing tail audio).
+                    if skip_unsupported:
+                        if fmt not in out.skipped_audio_formats:
+                            out.skipped_audio_formats.append(fmt)
+                        continue
+                    raise RemuxError(
+                        "FLV changes audio codec mid-stream "
+                        f"({out.audio_codec} -> {codec}); copy remux "
+                        "impossible")
             if fmt == 10:                             # AAC (packetized)
                 if len(body) < 2:
                     continue

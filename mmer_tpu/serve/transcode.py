@@ -199,7 +199,13 @@ def _merge_audio(video_mp4: bytes, flv_streams) -> bytes:
     stsd_entry, timescale, deltas, keyframes, vsamples = \
         _extract_video_track(video_mp4)
 
-    # Video DTS in ms for interleave ordering.
+    # Video DTS in ms for interleave ordering.  The cv2-transcoded track
+    # restarts presentation at 0 from the FLV's FIRST VIDEO frame, so
+    # audio timestamps are rebased onto that origin (an FLV captured
+    # mid-stream starts at an arbitrary absolute ms — using it raw would
+    # both misorder the interleave and delay audio by the absolute
+    # start, remux.flv_to_mp4:589 does the same rebase).
+    v0 = flv_streams.video[0][0] if flv_streams.video else 0
     vdts_ms: List[int] = []
     t = 0
     for d in deltas:
@@ -207,7 +213,8 @@ def _merge_audio(video_mp4: bytes, flv_streams) -> bytes:
         t += d
     order: List[Tuple[int, int, int]] = [
         (dts, 0, i) for i, dts in enumerate(vdts_ms)]
-    order += [(dts, 1, i) for i, (dts, _) in enumerate(flv_streams.audio)]
+    order += [(dts - v0, 1, i)
+              for i, (dts, _) in enumerate(flv_streams.audio)]
     order.sort(key=lambda x: (x[0], x[1]))
 
     ftyp = _box(b"ftyp", b"isom", struct.pack(">I", 0x200),
@@ -236,8 +243,9 @@ def _merge_audio(video_mp4: bytes, flv_streams) -> bytes:
                   _full(b"vmhd", 0, 1, b"\x00" * 8), stsd_entry,
                   deltas, [len(s) for s in vsamples], voffs,
                   width=width, height=height, keyframes=keyframes)
-    atrak, adur_ms = _build_audio_trak(flv_streams, 2, aoffs,
-                                       flv_streams.audio[0][0], movie_ts)
+    atrak, adur_ms = _build_audio_trak(
+        flv_streams, 2, aoffs,
+        max(flv_streams.audio[0][0] - v0, 0), movie_ts)
 
     from mmer_tpu.serve.remux import _matrix
     mvhd = _full(b"mvhd", 0, 0,

@@ -23,6 +23,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from scripts._probe_util import timed
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,18 +35,6 @@ PEAK_BF16 = 197e12
 PEAK_INT8 = 394.7e12
 
 
-def timed(fn, inputs, n_chain=4, reps=3):
-    outs = fn(*inputs[-1])
-    jax.block_until_ready(outs)
-    best = float("inf")
-    for r in range(reps):
-        chain = inputs[(r * n_chain) % len(inputs):][:n_chain]
-        t0 = time.time()
-        outs = [fn(*args) for args in chain]
-        jax.block_until_ready(outs)
-        np.asarray(outs[-1].ravel()[:1])
-        best = min(best, (time.time() - t0) / n_chain)
-    return best
 
 
 def bench_shape(m, k, n, tag):

@@ -23,6 +23,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from scripts._probe_util import timed
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,18 +37,6 @@ from mmer_tpu.models.vivit_quant import (quant_vivit_apply,
 B = 16
 
 
-def timed(fn, inputs, n_chain=4, reps=3):
-    outs = fn(inputs[-1])
-    jax.block_until_ready(outs)
-    best = float("inf")
-    for r in range(reps):
-        chain = inputs[(r * n_chain) % len(inputs):][:n_chain]
-        t0 = time.time()
-        outs = [fn(x) for x in chain]
-        jax.block_until_ready(outs)
-        np.asarray(outs[-1].ravel()[:1])
-        best = min(best, (time.time() - t0) / n_chain)
-    return best
 
 
 def main():
@@ -61,7 +51,8 @@ def main():
         for _ in range(9)]
     jax.block_until_ready(batches)
 
-    t_bf16 = timed(lambda x: ex._apply(ex.params, x), batches)
+    t_bf16 = timed(lambda x: ex._apply(ex.params, x),
+                   [(b,) for b in batches])
     print(f"bf16 fused path      : {t_bf16 * 1e3:7.1f} ms  "
           f"{B / t_bf16:6.1f} chunks/s", flush=True)
 
@@ -72,7 +63,7 @@ def main():
                        (False, "int8 + XLA attn     ")):
         qf = jax.jit(lambda qq, x, fl=flash: quant_vivit_apply(
             qq, x, cfg, use_flash=fl))
-        t_q = timed(lambda x: qf(q, x), batches)
+        t_q = timed(lambda x: qf(q, x), [(b,) for b in batches])
         print(f"{tag} : {t_q * 1e3:7.1f} ms  {B / t_q:6.1f} chunks/s  "
               f"speedup {t_bf16 / t_q:4.2f}x", flush=True)
         a = np.asarray(ex._apply(ex.params, batches[0]))
@@ -88,7 +79,8 @@ def main():
     # "int8") — quantized side table + AotJit wrapping, uint8 in.
     exq = VideoFeatureExtractor(cfg, device_batch=B, use_flash=True,
                                 precision="int8")
-    t_route = timed(lambda x: exq._apply(exq._run_params, x), batches)
+    t_route = timed(lambda x: exq._apply(exq._run_params, x),
+                    [(b,) for b in batches])
     print(f"int8 extractor hook  : {t_route * 1e3:7.1f} ms  "
           f"{B / t_route:6.1f} chunks/s  speedup {t_bf16 / t_route:4.2f}x",
           flush=True)

@@ -24,23 +24,12 @@ import numpy as np
 from mmer_tpu.core.cache import enable_persistent_cache
 from mmer_tpu.models.wav2vec2 import (Wav2Vec2Config, Wav2Vec2Encoder,
                                       feat_extract_output_length)
+from scripts._probe_util import timed
 
 PEAK = 197e12
 B, SAMPLES = 64, 64000
 
 
-def timed(fn, inputs, n_chain=4, reps=3):
-    outs = fn(*inputs[-1])
-    jax.block_until_ready(outs)
-    best = float("inf")
-    for r in range(reps):
-        chain = inputs[(r * n_chain) % len(inputs):][:n_chain]
-        t0 = time.time()
-        outs = [fn(*args) for args in chain]
-        jax.block_until_ready(outs)
-        np.asarray(outs[-1][0, :1])
-        best = min(best, (time.time() - t0) / n_chain)
-    return best
 
 
 def main():
