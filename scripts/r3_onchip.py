@@ -11,6 +11,8 @@ runs in ONE process, each stage isolated by try/except:
   4. probe_w2v2_flash    — Wav2Vec2 attention XLA vs flash A/B
   5. probe_w2v2_qkv      — separate vs one-GEMM q/k/v projections
   6. probe_int8_w2v2     — int8 vs bf16 Wav2Vec2 transformer
+  7. probe_feature_noise_quality — F1 sensitivity at quantization-error
+     noise levels (gates the int8 default flip)
 
 The cross-process AOT *load* leg must run as a separate process:
     python scripts/probe_aot.py load
@@ -53,6 +55,12 @@ def main():
     stage("probe_w2v2_flash", w2f.main)
     stage("probe_w2v2_qkv", w2q.main)
     stage("probe_int8_w2v2", p8w.main)
+
+    import scripts.probe_feature_noise_quality as nq
+    sys.argv = ["probe_feature_noise_quality.py",
+                "--levels", "0,0.01,0.02", "--seeds", "2",
+                "--epochs", "400"]
+    stage("probe_feature_noise_quality", nq.main)
 
 
 if __name__ == "__main__":
