@@ -13,6 +13,8 @@ runs in ONE process, each stage isolated by try/except:
   6. probe_int8_w2v2     — int8 vs bf16 Wav2Vec2 transformer
   7. probe_feature_noise_quality — F1 sensitivity at quantization-error
      noise levels (gates the int8 default flip)
+  8. probe_ensemble      — seed-ensemble quality headline (beyond-
+     reference capability, train/ensemble.py)
 
 The cross-process AOT *load* leg must run as a separate process:
     python scripts/probe_aot.py load
@@ -61,6 +63,10 @@ def main():
                 "--levels", "0,0.01,0.02", "--seeds", "2",
                 "--epochs", "400"]
     stage("probe_feature_noise_quality", nq.main)
+
+    import scripts.probe_ensemble as ens
+    sys.argv = ["probe_ensemble.py", "--seeds", "8", "--epochs", "400"]
+    stage("probe_ensemble", ens.main)
 
 
 if __name__ == "__main__":
