@@ -125,6 +125,10 @@ def pad_videos(videos: List[np.ndarray], max_chunks: Optional[int] = None
     (reference collate_fn, train2.py:418-443)."""
     lengths = np.asarray([v.shape[0] for v in videos], dtype=np.int32)
     t_max = int(max_chunks or lengths.max())
+    # Clamp so lengths always describe the PADDED array (a caller-capped
+    # t_max truncates clips; reporting the pre-truncation length would
+    # desync every consumer of lengths/max_chunks from the data width).
+    lengths = np.minimum(lengths, t_max)
     n, d = len(videos), videos[0].shape[1]
     out = np.zeros((n, t_max, d), dtype=np.float32)
     for i, v in enumerate(videos):
@@ -167,8 +171,19 @@ def balanced_class_weights(train_labels: np.ndarray,
 
 
 def oversample_neutral(train_idx: np.ndarray, labels: np.ndarray,
-                       target_count: int = 1170, seed: int = 0) -> np.ndarray:
-    """v1 trainer's NEU oversampling to the majority count (train.py:199-211)."""
+                       target_count: Optional[int] = None,
+                       seed: int = 0) -> np.ndarray:
+    """v1 trainer's NEU oversampling to the majority count
+    (train.py:199-211 — the reference hardcodes ``majority_count = 1170
+    "From your counter"``, its dataset's literal majority count).
+    ``target_count=None`` derives the majority count from the data, so
+    any other dataset oversamples to ITS majority instead of inheriting
+    CREMA-D+RAVDESS's magic number (which would explode a small
+    dataset's NEU class); pass 1170 explicitly for the bit-level v1
+    replica."""
+    if target_count is None:
+        counts = np.bincount(labels[train_idx])
+        target_count = int(counts.max()) if len(counts) else 0
     minority = train_idx[labels[train_idx] == 0]
     if len(minority) == 0 or len(minority) >= target_count:
         return train_idx
@@ -206,7 +221,10 @@ def dataset_from_features(videos: List[np.ndarray], audios: np.ndarray,
     data = DatasetArrays(
         video=video, audio=audios, pad_mask=pad_mask, labels=labels,
         lengths=lengths, keys=list(keys),
-        max_chunks=int(lengths.max()),
+        # The PADDED width, not lengths.max(): with a caller-passed
+        # max_chunks the two differ, and downstream max_seq_len =
+        # max_chunks + 1 must match the actual (N, T, D) data width.
+        max_chunks=int(video.shape[1]),
         video_mean=stats.get("video_mean"), video_std=stats.get("video_std"),
         audio_mean=stats.get("audio_mean"), audio_std=stats.get("audio_std"),
     )

@@ -131,13 +131,19 @@ def interpret_test_set(apply_fn: Callable, params, data, test_idx,
     ts = timestamp or datetime.now().strftime("%Y%m%d_%H%M%S")
 
     test_idx = np.asarray(test_idx)
+    # One device→host transfer up front — inside the loop these would
+    # re-ship the FULL arrays per batch (data may be device-resident).
+    all_video = np.asarray(data["video"])
+    all_audio = np.asarray(data["audio"])
+    all_mask = np.asarray(data["pad_mask"])
+    all_labels = np.asarray(data["labels"])
     v_imp_all, a_imp_all, labels_all = [], [], []
     for start in range(0, len(test_idx), batch_size):
         idx = test_idx[start:start + batch_size]
-        video = np.asarray(data["video"])[idx]
-        audio = np.asarray(data["audio"])[idx]
-        mask = np.asarray(data["pad_mask"])[idx]
-        labels = np.asarray(data["labels"])[idx]
+        video = all_video[idx]
+        audio = all_audio[idx]
+        mask = all_mask[idx]
+        labels = all_labels[idx]
         av, aa = compute_attributions(apply_fn, params, video, audio, mask,
                                       n_steps=n_steps)
         vi, ai = aggregate_importances(av, aa)

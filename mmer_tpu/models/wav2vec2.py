@@ -536,10 +536,15 @@ class AudioEmbedder:
             [feat_extract_output_length(cfg, int(l)) for l in lengths])
         mask = np.arange(t_out)[None, :] >= frame_lens[:, None]
         n = waves.shape[0]
-        n_pad = -(-n // self._n_data) * self._n_data
+        # Batch-dim bucketing (core/buckets.py): serving feeds one piece
+        # per sliding window, so a raw n would track upload length and
+        # compile a fresh program (plus a persistent AOT cache entry) for
+        # every new video; bucketing bounds the shape family.  The mesh
+        # path additionally rounds to a per-chip-equal block.
+        from mmer_tpu.core.buckets import batch_bucket
+        n_pad = -(-batch_bucket(n) // self._n_data) * self._n_data
         if n_pad > n:
-            # Round the batch up so every chip gets an identical block
-            # (one compiled program); padding rows are sliced away below.
+            # Padding rows are sliced away below.
             waves = np.concatenate(
                 [waves, np.repeat(waves[-1:], n_pad - n, axis=0)])
             mask = np.concatenate(

@@ -339,12 +339,27 @@ class InferenceEngine:
             probs_all = np.zeros((n_sub, len(self.labels)), np.float32)
             imp_all: Dict[int, Dict] = {}
             for wl, starts in by_len.items():
+                nb = len(starts)
                 video_w = np.stack([sub_feats[s:s + wl] for s in starts])
                 audio_w = audio_embs[starts]
                 video_w, audio_w = self._normalize(video_w, audio_w)
-                mask = np.zeros((len(starts), wl), bool)
+                # Batch bucketing (core/buckets.py): group sizes track the
+                # per-video window count, so raw nb would compile a fresh
+                # fusion (and, with explain, IG) executable per distinct
+                # upload length and grow the AOT cache without bound;
+                # bucketing bounds the shape set to {1,2,4,…}×window_size.
+                # Padding rows repeat the last window and are sliced away.
+                from mmer_tpu.core.buckets import batch_bucket
+                bp = batch_bucket(nb)
+                if bp > nb:
+                    video_w = np.concatenate(
+                        [video_w, np.repeat(video_w[-1:], bp - nb, axis=0)])
+                    audio_w = np.concatenate(
+                        [audio_w, np.repeat(audio_w[-1:], bp - nb, axis=0)])
+                mask = np.zeros((bp, wl), bool)
                 probs, _, _ = apply(params, video_w, audio_w, mask)
-                probs_all[starts] = np.asarray(probs)
+                probs = np.asarray(probs)
+                probs_all[starts] = probs[:nb]
 
                 if explain:
                     from mmer_tpu.interpret import aggregate_importances
@@ -352,8 +367,7 @@ class InferenceEngine:
                     # Targets = predicted class (the generic
                     # compute_attributions default) — already known from
                     # the window probs, softmax being monotonic.
-                    targets = np.argmax(np.asarray(probs), axis=-1
-                                        ).astype(np.int32)
+                    targets = np.argmax(probs, axis=-1).astype(np.int32)
                     av, aa = self.ig_fn(params, video_w, audio_w, mask,
                                         targets)
                     vi, ai = aggregate_importances(av, aa)
@@ -377,12 +391,17 @@ class InferenceEngine:
 
     def warmup(self, subchunk_size: int = 32, window_size: int = 5,
                explain: bool = True,
-               resolutions: Sequence[Tuple[int, int]] = ()) -> None:
+               resolutions: Sequence[Tuple[int, int]] = (),
+               fps: float = 30.0) -> None:
         """Pre-compile the default-request compute graphs (ViViT at the
-        subchunk shape, Wav2Vec2 at 1s/10s buckets, fusion AND the IG
+        subchunk shape, Wav2Vec2 at the 1 s bucket AND the bucket a full
+        ``window_size`` window lands in at ``fps`` — the dominant request
+        shape, ~6 s for the 5×32-frame/30 fps default — fusion AND the IG
         explain graph at each window length) so the first real upload
         doesn't pay cold-compile latency.  With the persistent compile
         cache this is fast after the first-ever server start on a machine.
+        Batch dims are warmed at bucket 1; other batch buckets (bounded by
+        core/buckets.py) compile once on first use and are then cached.
 
         ``resolutions``: (height, width) video formats to pre-compile the
         per-resolution crop graph for (embed_cropped_frames) — without
@@ -438,6 +457,19 @@ class InferenceEngine:
         self.audio_embedder.embed_batch(
             [np.zeros(self.wav_cfg.sample_rate, np.float32)])
         phase("w2v2 forward graph (1s bucket)")
+        # The bucket a full default window actually lands in — wl·32 frames
+        # at `fps` is ~5.33 s → the 6 s bucket at the 30 fps default; the
+        # 1 s graph above never serves it, so without this the first real
+        # upload after a "warm" start paid the full wav2vec2-large compile.
+        # Clips beyond chunk_duration_s are split, so that caps the bucket.
+        win_s = min(window_size * subchunk_size / max(fps, 1e-6),
+                    float(self.wav_cfg.chunk_duration_s))
+        win_samples = int(np.ceil(win_s) * self.wav_cfg.sample_rate)
+        if win_samples > self.wav_cfg.sample_rate:
+            self.audio_embedder.embed_batch(
+                [np.zeros(win_samples, np.float32)])
+            phase(f"w2v2 forward graph ({int(np.ceil(win_s))}s window "
+                  f"bucket)")
         _, params, apply = self.fusion
         phase("fusion params init+load")
         for wl in range(1, window_size + 1):

@@ -224,7 +224,11 @@ def build_fused_train(model: MultimodalEmotionModel,
             if train_cfg.best_metric == "val_loss":
                 score = val_loss
             else:
-                score = -jnp.trace(val_cm) / jnp.maximum(jnp.sum(val_cm), 1.0)
+                # -accuracy in PERCENT — the epoch-loop trainer tracks
+                # -val_acc with val_acc = 100·accuracy (loop.py:565), and
+                # TrainOutput.best_score must be comparable across modes.
+                score = (-100.0 * jnp.trace(val_cm)
+                         / jnp.maximum(jnp.sum(val_cm), 1.0))
             is_best = score < c.best_score
             best_params = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(is_best, new, old),

@@ -273,7 +273,8 @@ def _build_hyperparameters(model_cfg: ModelConfig,
 def _save_run_artifacts(data: DatasetArrays, train_cfg: TrainConfig,
                         batch_size: int, results: list, best_epoch: int,
                         hyperparameters: dict, confusion,
-                        best_params, final_params, verbose: bool):
+                        best_params, final_params, verbose: bool,
+                        best_batch_stats=None, final_batch_stats=None):
     """Results JSON + best/final msgpack + norm stats, with the reference's
     naming scheme (train2.py:748-774).  Shared by both trainer paths."""
     if not train_cfg.save_checkpoints:
@@ -294,9 +295,17 @@ def _save_run_artifacts(data: DatasetArrays, train_cfg: TrainConfig,
                              f"best_model_{stem}.msgpack")
     final_path = os.path.join(train_cfg.output_dir,
                               f"final_model_{stem}.msgpack")
+    # Batchnorm (v1) models: the artifact must carry the running stats
+    # too, or the saved model cannot be restored faithfully — wrap as
+    # {"params", "batch_stats"}; layernorm artifacts stay a bare params
+    # tree (the schema serving loads).
+    def _composite(p, bs):
+        return {"params": p, "batch_stats": bs} if bs else p
     if best_params is not None:
-        ckpt.save_params_msgpack(best_path, best_params)
-    ckpt.save_params_msgpack(final_path, final_params)
+        ckpt.save_params_msgpack(best_path,
+                                 _composite(best_params, best_batch_stats))
+    ckpt.save_params_msgpack(final_path,
+                             _composite(final_params, final_batch_stats))
     stats_path = _save_norm_stats(data, train_cfg.output_dir, stem)
     if verbose:
         print(f"Training results saved to {results_path}")
@@ -499,6 +508,7 @@ def train_model(data: DatasetArrays, splits: DataSplits,
     results: List[dict] = []
     best_score = float("inf")
     best_params = None
+    best_batch_stats = None          # bn models: stats AT the best epoch
     best_epoch = 0
     epochs_without_improvement = 0
     previous_val_loss = float("inf")
@@ -567,6 +577,12 @@ def train_model(data: DatasetArrays, splits: DataSplits,
             best_score = score
             # Real copy: state.params buffers are donated to the next epoch.
             best_params = jax.tree_util.tree_map(jnp.copy, state.params)
+            # Batchnorm (v1) models: running stats are part of the model —
+            # snapshot them WITH the params, else the "best model" is
+            # evaluated/saved with the final epoch's drifted stats (the
+            # reference deepcopies the full state_dict, train.py:334-338).
+            best_batch_stats = (jax.tree_util.tree_map(
+                jnp.copy, state.batch_stats) if state.batch_stats else {})
             best_epoch = epoch + 1
 
         row = {
@@ -639,7 +655,9 @@ def train_model(data: DatasetArrays, splits: DataSplits,
     # Best-model confusion matrix on test (train2.py:719-743).
     confusion = None
     if best_params is not None:
-        _, cm_d = evaluate(best_params, state.batch_stats, dev_data,
+        bs = (best_batch_stats if best_batch_stats is not None
+              else state.batch_stats)   # resume fallback: stats not stored
+        _, cm_d = evaluate(best_params, bs, dev_data,
                            test_idx, class_weights)
         confusion = np.asarray(cm_d)
         if verbose:
@@ -649,7 +667,9 @@ def train_model(data: DatasetArrays, splits: DataSplits,
     # Artifacts with the reference's naming scheme (train2.py:748-774).
     results_path, best_path, final_path, stats_path = _save_run_artifacts(
         data, train_cfg, batch_size, results, best_epoch, hyperparameters,
-        confusion, best_params, state.params, verbose)
+        confusion, best_params, state.params, verbose,
+        best_batch_stats=best_batch_stats,
+        final_batch_stats=state.batch_stats)
 
     # On a resumed run the best epoch may predate the resume point, so its
     # row is absent from this process's `results`; with val-loss selection

@@ -166,3 +166,15 @@ def test_fused_artifacts(tiny_dataset, tmp_path):
     assert blob["hyperparameters"]["fused_run"] is True
     assert len(blob["training_progress"]) == 2
     assert out.best_model_path and out.confusion is not None
+
+
+def test_val_acc_best_score_scale_matches_loop(tiny_dataset):
+    """With best_metric='val_acc' both trainers must report best_score as
+    -accuracy in PERCENT — the fused path tracked a fraction, a silent
+    100x scale skew for any cross-mode run selection (review r3)."""
+    out_loop = _run(tiny_dataset, fused=False, best_metric="val_acc")
+    out_fused = _run(tiny_dataset, fused=True, best_metric="val_acc")
+    best_acc_loop = max(r["val_acc"] for r in out_loop.results)
+    best_acc_fused = max(r["val_acc"] for r in out_fused.results)
+    assert out_loop.best_score == pytest.approx(-best_acc_loop, abs=1e-3)
+    assert out_fused.best_score == pytest.approx(-best_acc_fused, abs=1e-3)

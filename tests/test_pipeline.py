@@ -167,3 +167,50 @@ def test_extract_dataset_arrays_matches_disk_path(tmp_path):
     np.testing.assert_array_equal(mem_splits.test, disk_splits.test)
     np.testing.assert_allclose(mem_splits.class_weights,
                                disk_splits.class_weights)
+
+
+def test_pad_videos_caller_cap_clamps_lengths():
+    """A caller-passed max_chunks truncates clips; lengths must describe
+    the PADDED array, not the pre-truncation clip (review r3)."""
+    videos = [np.ones((2, 4), np.float32), np.ones((5, 4), np.float32)]
+    padded, mask, lengths = pad_videos(videos, max_chunks=3)
+    assert padded.shape == (2, 3, 4)
+    assert list(lengths) == [2, 3]
+    assert mask[0].tolist() == [False, False, True]
+    assert mask[1].tolist() == [False, False, False]
+    # and a cap ABOVE the longest clip widens the padding
+    padded, _, lengths = pad_videos(videos[:1], max_chunks=6)
+    assert padded.shape == (1, 6, 4)
+    assert list(lengths) == [2]
+
+
+def test_oversample_neutral_derives_majority_from_data():
+    """With no explicit target the NEU class is raised to THIS dataset's
+    majority count — the reference hardcodes its own dataset's 1170
+    (train.py:199-211 'From your counter'), which would explode a small
+    dataset's NEU class 200x (review r3)."""
+    from mmer_tpu.data.pipeline import oversample_neutral
+    labels = np.array([0] * 5 + [1] * 40 + [2] * 30)
+    out = oversample_neutral(np.arange(len(labels)), labels)
+    counts = np.bincount(labels[out])
+    assert counts[0] == 40           # the data's majority, not 1170
+    assert counts[1] == 40 and counts[2] == 30
+    # explicit target keeps the bit-level v1 replica available
+    out_ref = oversample_neutral(np.arange(len(labels)), labels,
+                                 target_count=10)
+    assert np.bincount(labels[out_ref])[0] == 10
+
+
+def test_dataset_max_chunks_is_the_padded_width(synthetic_feature_dirs):
+    """DatasetArrays.max_chunks must equal video.shape[1] even when a
+    caller cap truncates or widens — downstream ModelConfig.max_seq_len =
+    max_chunks + 1 must match the real data width (review r3)."""
+    vdir, adir = synthetic_feature_dirs
+    cfg = DataConfig(video_feat_dir=vdir, audio_feat_dir=adir, batch_size=8)
+    base, _ = load_dataset(cfg)
+    for cap in (base.max_chunks + 2, max(1, base.max_chunks - 1)):
+        data, _ = load_dataset(cfg, max_chunks=cap)
+        assert data.video.shape[1] == cap
+        assert data.max_chunks == cap
+        assert data.pad_mask.shape[1] == cap
+        assert int(data.lengths.max()) <= cap

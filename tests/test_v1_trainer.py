@@ -65,3 +65,42 @@ def test_v1_best_metric_val_acc(tiny_dataset):
         batch_size=32, verbose=False, fused=True)
     accs = [r["val_acc"] for r in out.results]
     assert out.best_epoch == int(np.argmax(accs)) + 1
+
+
+def test_batchnorm_best_artifact_carries_running_stats(tiny_dataset,
+                                                       tmp_path):
+    """Batchnorm (v1) models: the best-model artifact must bundle the
+    running stats captured AT the best epoch — params alone cannot be
+    restored faithfully, and evaluating the best params under the final
+    epoch's drifted stats reports a confusion matrix the saved model never
+    produces (the reference deepcopies the full state_dict,
+    train.py:334-338) (review r3)."""
+    from flax import serialization
+
+    data, splits = tiny_dataset
+    cfg = ModelConfig(max_seq_len=4, fusion_layers=1, norm="batchnorm",
+                      compute_dtype="float32")
+    out = train_model(
+        data, splits, cfg,
+        TrainConfig(num_epochs=3, lr=1e-3, loss="focal",
+                    save_checkpoints=True, output_dir=str(tmp_path),
+                    patience=10 ** 9),
+        batch_size=32, verbose=False)
+    best = [p for p in tmp_path.iterdir() if p.name.startswith("best_model")]
+    assert len(best) == 1
+    tree = serialization.msgpack_restore(best[0].read_bytes())
+    assert set(tree) == {"params", "batch_stats"}
+    assert tree["batch_stats"]                 # non-empty running stats
+    # Layernorm (v2) artifacts stay a bare params tree (serving's schema).
+    out2_dir = tmp_path / "ln"
+    train_model(
+        data, splits,
+        ModelConfig(max_seq_len=4, fusion_layers=1,
+                    compute_dtype="float32"),
+        TrainConfig(num_epochs=2, lr=1e-3, save_checkpoints=True,
+                    output_dir=str(out2_dir), patience=10 ** 9),
+        batch_size=32, verbose=False)
+    best2 = [p for p in out2_dir.iterdir()
+             if p.name.startswith("best_model")]
+    tree2 = serialization.msgpack_restore(best2[0].read_bytes())
+    assert "batch_stats" not in tree2
