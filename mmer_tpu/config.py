@@ -95,6 +95,15 @@ class TrainConfig:
     # params (per-step decay; 0.0 = off = exact reference behavior).
     # Fused trainer only.
     ema_decay: float = 0.0
+    # Opt-in mixup over the (video, audio) feature pairs: per-batch
+    # lambda ~ Beta(alpha, alpha), partner drawn by in-batch permutation,
+    # loss = lam*CE(y) + (1-lam)*CE(y_partner).  0.0 = off = exact
+    # reference behavior.  Fused trainer only.
+    mixup_alpha: float = 0.0
+    # Opt-in modality dropout: with prob rate/2 zero the audio embedding,
+    # with prob rate/2 zero all video tokens, per sample per step (classic
+    # multimodal robustness regularizer).  0.0 = off.  Fused trainer only.
+    modality_dropout: float = 0.0
     # Best-model selection: "val_loss" (v2, train2.py:617-620) or
     # "val_acc" (v1, train.py:334-338).
     best_metric: str = "val_loss"

@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="evaluate/select on a per-step EMA of the params "
                         "(0 = off, reference behavior; requires --fused)")
+    p.add_argument("--mixup_alpha", type=float, default=0.0,
+                   help="mixup over feature pairs, lambda~Beta(a,a) "
+                        "(0 = off, reference behavior; requires --fused)")
+    p.add_argument("--modality_dropout", type=float, default=0.0,
+                   help="per-sample probability of zeroing one modality "
+                        "(0 = off, reference behavior; requires --fused)")
     p.add_argument("--raw_videos", default=None, metavar="DIR",
                    help="RAW face-crop videos: extract ViViT features on "
                         "device straight into HBM and train, skipping the "
@@ -96,6 +102,8 @@ def main(argv=None):
         weight_decay=args.weight_decay,
         label_smoothing=args.label_smoothing,
         ema_decay=args.ema_decay,
+        mixup_alpha=args.mixup_alpha,
+        modality_dropout=args.modality_dropout,
         best_metric=args.best_metric)
 
     from mmer_tpu.utils.profiling import trace

@@ -87,6 +87,12 @@ def build_fused_train(model: MultimodalEmotionModel,
     # reference-recipe runs are bit-identical with ema_decay=0).
     ema_decay = train_cfg.ema_decay
     use_ema = ema_decay > 0.0
+    # Opt-in feature-space regularizers (defaults 0.0 keep the traced
+    # train step — and therefore the RNG stream — bit-identical to the
+    # reference recipe; the extra keys below are derived by fold_in from
+    # the step's dropout key only when enabled).
+    mixup_alpha = train_cfg.mixup_alpha
+    md_rate = train_cfg.modality_dropout
 
     def gather(arr, idx):
         out = jnp.take(arr, idx, axis=0)
@@ -113,11 +119,48 @@ def build_fused_train(model: MultimodalEmotionModel,
             labels = gather(data["labels"], safe)
             dropout_key = jax.random.fold_in(epoch_key, step_i)
 
+            if md_rate > 0.0:
+                # Per-sample modality dropout: one uniform draw picks
+                # "zero audio" (u < rate/2) or "zero video" (rate/2 <= u
+                # < rate); features are zero-padded so zeroing is the
+                # global-mean point of the z-scored feature space.
+                u = jax.random.uniform(
+                    jax.random.fold_in(dropout_key, 103), (sw.shape[0],))
+                keep_audio = (u >= md_rate / 2.0).astype(audio.dtype)
+                keep_video = jnp.logical_or(
+                    u < md_rate / 2.0, u >= md_rate).astype(video.dtype)
+                audio = audio * keep_audio[:, None]
+                video = video * keep_video[:, None, None]
+
+            if mixup_alpha > 0.0:
+                # Batch-scalar lambda, in-batch partner permutation.
+                # Sentinel lanes (idx -1 -> sample 0, sw 0) can appear as
+                # partners in the final partial batch of an epoch; they
+                # carry sample 0's real features+label, so the mix stays
+                # a valid (slightly sample-0-biased) mixup pair.
+                lam = jax.random.beta(
+                    jax.random.fold_in(dropout_key, 101),
+                    mixup_alpha, mixup_alpha)
+                j = jax.random.permutation(
+                    jax.random.fold_in(dropout_key, 102), sw.shape[0])
+                video = lam * video + (1.0 - lam) * jnp.take(video, j, 0)
+                audio = lam * audio + (1.0 - lam) * jnp.take(audio, j, 0)
+                # True = padded: a mixed position is real if EITHER
+                # parent had a real token there (the shorter parent's
+                # padding is zeros, which mixes to lam*x harmlessly).
+                mask = jnp.logical_and(mask, jnp.take(mask, j, 0))
+                labels_b = jnp.take(labels, j, 0)
+
             def loss_of(p):
                 _, logits, _ = model.apply(
                     {"params": p}, video, audio, mask, train=True,
                     rngs={"dropout": dropout_key})
-                return loss_fn(logits, labels, class_weights, sw)
+                loss = loss_fn(logits, labels, class_weights, sw)
+                if mixup_alpha > 0.0:
+                    loss = (lam * loss
+                            + (1.0 - lam)
+                            * loss_fn(logits, labels_b, class_weights, sw))
+                return loss
 
             loss, grads = jax.value_and_grad(loss_of)(params)
             updates, opt_state = optimizer.update(grads, opt_state, params)

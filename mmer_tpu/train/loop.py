@@ -472,6 +472,9 @@ def train_model(data: DatasetArrays, splits: DataSplits,
     if train_cfg.ema_decay > 0.0:
         raise ValueError("ema_decay is implemented in the fused trainer "
                          "only — pass fused=True / --fused")
+    if train_cfg.mixup_alpha > 0.0 or train_cfg.modality_dropout > 0.0:
+        raise ValueError("mixup/modality dropout are implemented in the "
+                         "fused trainer only — pass fused=True / --fused")
     mesh = create_mesh(mesh_cfg)
     model = MultimodalEmotionModel(model_cfg)
     optimizer = make_optimizer(train_cfg)

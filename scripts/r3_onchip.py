@@ -68,6 +68,11 @@ def main():
     sys.argv = ["probe_ensemble.py", "--seeds", "8", "--epochs", "400"]
     stage("probe_ensemble", ens.main)
 
+    import scripts.probe_mixup_quality as mx
+    sys.argv = ["probe_mixup_quality.py", "--seeds", "4",
+                "--epochs", "400", "--out", "/tmp/mixup_quality.json"]
+    stage("probe_mixup_quality", mx.main)
+
 
 if __name__ == "__main__":
     main()

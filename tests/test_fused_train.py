@@ -25,9 +25,17 @@ def _run(tiny_dataset, fused, **kw):
                        verbose=False, fused=fused)
 
 
-def test_fused_matches_loop_schema_and_quality(tiny_dataset):
+@pytest.fixture(scope="module")
+def plain_fused_run(tiny_dataset):
+    """The default-config fused run, shared by every test that compares a
+    knob against the plain trajectory (one whole-run compile instead of
+    four on the single-CPU test host)."""
+    return _run(tiny_dataset, fused=True)
+
+
+def test_fused_matches_loop_schema_and_quality(tiny_dataset, plain_fused_run):
     out_loop = _run(tiny_dataset, fused=False)
-    out_fused = _run(tiny_dataset, fused=True)
+    out_fused = plain_fused_run
 
     assert len(out_fused.results) == len(out_loop.results) == 6
     assert set(out_fused.results[0]) >= set(out_loop.results[0])
@@ -53,23 +61,23 @@ def test_fused_early_stopping(tiny_dataset):
     assert len(out.results) == 4
 
 
-def test_ema_near_zero_decay_matches_plain_run(tiny_dataset):
+def test_ema_near_zero_decay_matches_plain_run(tiny_dataset, plain_fused_run):
     """With decay ε→0 the EMA tracks the raw params almost exactly, so the
     whole metric trajectory must match the EMA-off run to float tolerance —
     anchors the EMA plumbing (eval/selection on the averaged tree) to the
     plain path."""
-    out_plain = _run(tiny_dataset, fused=True)
+    out_plain = plain_fused_run
     out_ema = _run(tiny_dataset, fused=True, ema_decay=1e-9)
     for a, b in zip(out_plain.results, out_ema.results):
         assert abs(a["val_loss"] - b["val_loss"]) < 1e-4
         assert abs(a["train_loss"] - b["train_loss"]) < 1e-4
 
 
-def test_ema_heavy_decay_lags_and_selects_averaged_params(tiny_dataset):
+def test_ema_heavy_decay_lags_and_selects_averaged_params(tiny_dataset, plain_fused_run):
     import jax
 
     out = _run(tiny_dataset, fused=True, ema_decay=0.95)
-    plain = _run(tiny_dataset, fused=True)
+    plain = plain_fused_run
     assert len(out.results) == 6
     assert np.isfinite([r["val_loss"] for r in out.results]).all()
     # Same seed ⇒ identical raw param trajectories, so any val-loss
@@ -153,6 +161,40 @@ def test_train_many_seeds_early_stop_per_seed(tiny_dataset):
 def test_ema_requires_fused(tiny_dataset):
     with pytest.raises(ValueError, match="fused"):
         _run(tiny_dataset, fused=False, ema_decay=0.9)
+
+
+def test_mixup_trains_and_differs_from_plain(tiny_dataset, plain_fused_run):
+    """mixup_alpha>0 must (a) run to completion with finite metrics,
+    (b) produce a genuinely different trajectory than the plain run
+    (the mixed features/labels change every step), and (c) still learn
+    the separable signal — mixup regularizes, it must not destroy."""
+    plain = plain_fused_run
+    out = _run(tiny_dataset, fused=True, mixup_alpha=0.4)
+    assert len(out.results) == 6
+    assert np.isfinite([r["val_loss"] for r in out.results]).all()
+    assert abs(out.results[0]["train_loss"]
+               - plain.results[0]["train_loss"]) > 1e-4
+    assert out.results[-1]["train_loss"] < out.results[0]["train_loss"]
+
+
+def test_modality_dropout_trains_and_differs_from_plain(tiny_dataset, plain_fused_run):
+    """modality_dropout>0: same contract as mixup — runs, differs,
+    still learns.  rate=0.5 → 25% audio-zeroed + 25% video-zeroed
+    samples per step."""
+    plain = plain_fused_run
+    out = _run(tiny_dataset, fused=True, modality_dropout=0.5)
+    assert len(out.results) == 6
+    assert np.isfinite([r["val_loss"] for r in out.results]).all()
+    assert abs(out.results[0]["train_loss"]
+               - plain.results[0]["train_loss"]) > 1e-4
+    assert out.results[-1]["train_loss"] < out.results[0]["train_loss"]
+
+
+def test_mixup_modality_dropout_require_fused(tiny_dataset):
+    with pytest.raises(ValueError, match="fused"):
+        _run(tiny_dataset, fused=False, mixup_alpha=0.2)
+    with pytest.raises(ValueError, match="fused"):
+        _run(tiny_dataset, fused=False, modality_dropout=0.2)
 
 
 def test_fused_artifacts(tiny_dataset, tmp_path):

@@ -41,6 +41,7 @@ def test_r3_onchip_queue_targets_exist():
 
     for mod in ("probe_aot", "probe_int8", "probe_int8_vivit",
                 "probe_w2v2_flash", "probe_w2v2_qkv", "probe_int8_w2v2",
-                "probe_feature_noise_quality"):
+                "probe_feature_noise_quality", "probe_ensemble",
+                "probe_mixup_quality"):
         m = importlib.import_module(f"scripts.{mod}")
         assert callable(getattr(m, "main"))
