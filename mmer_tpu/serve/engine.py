@@ -147,10 +147,20 @@ class InferenceEngine:
                 jnp.zeros((1, t), bool)))(jax.random.PRNGKey(0))
             if self.fusion_params_path and os.path.exists(
                     self.fusion_params_path):
-                # Checkpoints store the bare params tree
-                # (train/loop.py saves state.params / best_params).
-                params = {"params": load_params_msgpack(
-                    self.fusion_params_path, params["params"])}
+                if self.fusion_params_path.endswith(".pth"):
+                    # Reference-trained torch checkpoint (train2.py:766-774)
+                    # — the migration path.  Shape mismatches against
+                    # model_cfg raise loudly (models/port_fusion.py), the
+                    # exact failure the reference swallows into a silent
+                    # random-weight serve (inference.py:236-265).
+                    from mmer_tpu.models.port_fusion import load_pth
+                    params, _ = load_pth(self.fusion_params_path,
+                                         self.model_cfg)
+                else:
+                    # Checkpoints store the bare params tree
+                    # (train/loop.py saves state.params / best_params).
+                    params = {"params": load_params_msgpack(
+                        self.fusion_params_path, params["params"])}
             elif self.fusion_params_path:
                 raise FileNotFoundError(
                     f"fusion checkpoint not found: {self.fusion_params_path}"

@@ -130,6 +130,29 @@ def test_fusion_checkpoint_loading(tmp_path, face_video):
     with pytest.raises(FileNotFoundError):
         _ = bad.fusion
 
+    # Migration path: a reference-format .pth (train2.py:766-774) must
+    # load through the same engine hook (models/port_fusion.py).
+    pytest.importorskip("torch")
+    from mmer_tpu.models.port_fusion import save_pth
+    pth = str(tmp_path / "best_model_ref.pth")
+    save_pth(pth, variables, TINY_FUSION)
+    eng_pth = InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
+                              fusion_params_path=pth)
+    _, params_pth, _ = eng_pth.fusion
+    np.testing.assert_allclose(
+        np.asarray(params_pth["params"]["fusion"]["video_proj"]["kernel"]),
+        np.asarray(variables["params"]["fusion"]["video_proj"]["kernel"]),
+        rtol=0, atol=0)
+
+    # And a shape-mismatched .pth must refuse LOUDLY (the reference's
+    # silent random-weight serve, inference.py:236-265).
+    from mmer_tpu.config import ModelConfig as MC
+    wrong = MC(**{**TINY_FUSION.__dict__, "max_seq_len": 57})
+    eng_bad = InferenceEngine(model_cfg=wrong, vivit_cfg=TINY_VIVIT,
+                              fusion_params_path=pth)
+    with pytest.raises(ValueError, match="mismatch"):
+        _ = eng_bad.fusion
+
 
 def test_multipart_parser():
     boundary = "XBOUND"
