@@ -258,6 +258,29 @@ def bench_extract_scaling(n_devices: int = POD_CHIPS) -> dict | None:
 
 
 def main() -> None:
+    # Watchdog: the tunneled chip's session-open can hang for hours during
+    # relay outages (observed Aug 18); a bench that never prints is worse
+    # than one that reports the outage.  Costs nothing when healthy.
+    import threading
+
+    deadline_s = float(os.environ.get("MMER_BENCH_DEADLINE_S", 2700))
+
+    def _expire():
+        print(json.dumps({
+            "metric": "extract_train_clips_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "clips/s/chip (NOT MEASURED)",
+            "vs_baseline": 0.0,
+            "error": f"no result within {deadline_s:.0f}s — TPU relay "
+                     "unavailable or device session never opened; see "
+                     "BENCH history for last measured values",
+        }), flush=True)
+        os._exit(1)
+
+    watchdog = threading.Timer(deadline_s, _expire)
+    watchdog.daemon = True
+    watchdog.start()
+
     from mmer_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -302,6 +325,7 @@ def main() -> None:
         components["projected_pod_vs_baseline"] = round(
             pod_clips_s / REF_CLIPS_PER_SEC, 2)
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "extract_train_clips_per_sec_per_chip",
         "value": round(clips_s, 2),
