@@ -276,3 +276,57 @@ def save_pth(path: str, params: Mapping[str, Any], cfg: ModelConfig) -> None:
 
     sd = state_dict_from_params(params, cfg)
     torch.save({k: torch.from_numpy(v.copy()) for k, v in sd.items()}, path)
+
+
+def main(argv=None) -> None:
+    """Checkpoint converter CLI.
+
+    python -m mmer_tpu.models.port_fusion ref.pth out.msgpack [--heads 8]
+    python -m mmer_tpu.models.port_fusion ours.msgpack out.pth
+       (msgpack→pth needs the shapes: pass the training config via
+        --max_seq_len etc. only if they differ from defaults — the tree
+        itself carries them, so they are inferred from the params.)
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("src")
+    parser.add_argument("dst")
+    parser.add_argument("--heads", type=int, default=None,
+                        help="fusion head count (not weight-determined; "
+                             "default 8, train2.py:252)")
+    args = parser.parse_args(argv)
+
+    if args.src.endswith(".pth"):
+        variables, cfg = load_pth(args.src, heads=args.heads)
+        from mmer_tpu.train.checkpoint import save_params_msgpack
+        save_params_msgpack(args.dst, variables["params"])
+        print(f"{args.src} → {args.dst}  (inferred config: {cfg})")
+    else:
+        from flax import serialization
+
+        with open(args.src, "rb") as f:
+            params = serialization.msgpack_restore(f.read())
+        # Shapes live in the tree; rebuild the config off a fake
+        # reference-named view by exporting with an inferred config.
+        p = params.get("params", params)
+        fusion = p["fusion"]
+        layers = sum(1 for k in fusion if k.startswith("layer_"))
+        cfg = ModelConfig(
+            video_dim=int(fusion["video_proj"]["kernel"].shape[0]),
+            audio_dim=int(fusion["audio_proj"]["kernel"].shape[0]),
+            fused_dim=int(fusion["video_proj"]["kernel"].shape[1]),
+            num_classes=int(p["classifier"]["out"]["kernel"].shape[1]),
+            max_seq_len=int(fusion["pos_embed"].shape[1]),
+            fusion_layers=layers,
+            fusion_ffn_dim=int(
+                fusion["layer_0"]["ffn_in"]["kernel"].shape[1]),
+            classifier_hidden_dim=int(
+                p["classifier"]["hidden_0"]["kernel"].shape[1]),
+            **({"fusion_heads": args.heads} if args.heads else {}))
+        save_pth(args.dst, params, cfg)
+        print(f"{args.src} → {args.dst}  (config from tree: {cfg})")
+
+
+if __name__ == "__main__":
+    main()

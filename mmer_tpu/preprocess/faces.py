@@ -40,10 +40,19 @@ class HaarFaceDetector:
     score)."""
 
     def __init__(self, scale_factor: float = 1.1, min_neighbors: int = 3,
-                 cascade_path: Optional[str] = None, min_size: int = 48):
+                 cascade_path: Optional[str] = None, min_size: int = 48,
+                 min_texture_std: float = 16.0):
         # scale_factor 1.1 (OpenCV's classic default): coarser pyramids
         # (1.2+) can step right over a face's true scale and miss it —
         # observed on 224² face-crop clips where the face spans ~90 px.
+        #
+        # min_texture_std: texture veto — drop boxes whose central-60%
+        # grayscale std is below this.  A crop that truly contains a face
+        # has strong internal contrast (measured ≥35 on every detection
+        # across the shipped clip and the synthetic GT suite), while the
+        # cascade's flat-blob false positives (skin-toned ellipse
+        # distractor, noise backgrounds) measure 5-14.  16 keeps 2.2×
+        # recall headroom; 0 disables.
         from mmer_tpu.preprocess.cascade import HaarCascade, find_cascade_file
 
         path = cascade_path or find_cascade_file()
@@ -53,6 +62,17 @@ class HaarFaceDetector:
         self.scale_factor = scale_factor
         self.min_neighbors = min_neighbors
         self.min_size = min_size
+        self.min_texture_std = min_texture_std
+
+    def _texture_ok(self, gray: np.ndarray,
+                    box: Tuple[float, float, float, float]) -> bool:
+        if self.min_texture_std <= 0:
+            return True
+        x1, y1, x2, y2 = box
+        bw, bh = x2 - x1, y2 - y1
+        roi = gray[int(y1 + 0.2 * bh):int(y2 - 0.2 * bh),
+                   int(x1 + 0.2 * bw):int(x2 - 0.2 * bw)]
+        return roi.size > 0 and float(roi.std()) >= self.min_texture_std
 
     def detect(self, frame_rgb: np.ndarray) -> List[Tuple[float, float, float, float, float]]:
         """→ [(x1, y1, x2, y2, conf)], highest confidence first.
@@ -63,9 +83,10 @@ class HaarFaceDetector:
         import cv2
 
         gray = cv2.cvtColor(frame_rgb, cv2.COLOR_RGB2GRAY)
-        return self._cascade.detect(
+        dets = self._cascade.detect(
             gray, scale_factor=self.scale_factor,
             min_neighbors=self.min_neighbors, min_size=self.min_size)
+        return [d for d in dets if self._texture_ok(gray, d[:4])]
 
     # NOTE: no batched detect-many API — a vectorized multi-frame cascade
     # pass measured ~3× SLOWER per frame than this per-frame path on this
@@ -106,6 +127,8 @@ class HaarFaceDetector:
             min_size=max(24, int(0.6 * min(bw, bh))))
         best, best_iou = None, iou_gate
         for (dx1, dy1, dx2, dy2, conf) in dets:
+            if not self._texture_ok(gray, (dx1, dy1, dx2, dy2)):
+                continue
             cand = (dx1 + ex1, dy1 + ey1, dx2 + ex1, dy2 + ey1)
             ix1, iy1 = max(cand[0], x1), max(cand[1], y1)
             ix2, iy2 = min(cand[2], x2), min(cand[3], y2)
@@ -154,11 +177,22 @@ def default_detector():
 # bbox artifact contract
 # ---------------------------------------------------------------------------
 
+def _iou(a: Sequence[float], b: Sequence[float]) -> float:
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+    union = ((a[2] - a[0]) * (a[3] - a[1])
+             + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+    return inter / max(union, 1e-9)
+
+
 def extract_video_bboxes(video_path: str, detector=None,
                          conf_threshold: float = 0.5,
                          temporal: bool = True,
                          max_gap: int = 10,
-                         max_relaxed_chain: int = 15) -> List[BBox]:
+                         max_relaxed_chain: int = 15,
+                         birth_window: int = 5,
+                         birth_iou: float = 0.3) -> List[BBox]:
     """Per-frame detection → [(frame, x1, y1, x2, y2, conf)], best box per
     frame above threshold (reference keeps every detection ≥ conf;
     cremad_extract_bboxes.py:39-47).
@@ -176,19 +210,28 @@ def extract_video_bboxes(video_path: str, detector=None,
        between two confirmed boxes are filled by linear interpolation,
        written with the flanking boxes' min confidence.
 
-    Both stages require an anchoring real detection, so a no-face video
-    still produces zero rows (measured: 0 FP on the reference's color-bar
-    test pattern, scripts/score_detector.py).
+    **Track-birth hysteresis**: both recovery stages engage only after the
+    track is confirmed by TWO full-strength detections within
+    ``birth_window`` frames whose boxes overlap at IoU ≥ ``birth_iou``.
+    Isolated detections are still written (reference parity) but never
+    seed recovery — without this, a single spurious cascade hit on clutter
+    is amplified by relaxation+interpolation (measured on the synthetic
+    GT suite: 5% raw FP frames became 25-95% temporal FP frames;
+    scripts/score_detector.py --synthetic).  Real faces detect densely
+    (88-100% raw on the shipped clips), so confirmation costs no recall.
     """
     import cv2
 
     detector = detector or default_detector()
     cap = cv2.VideoCapture(video_path)
     rows: List[BBox] = []
-    anchor_frames: List[int] = []      # frames with a (real/relaxed) box
+    anchor_frames: List[int] = []      # confirmed-track frames with a box
     prior: Optional[Tuple[float, float, float, float]] = None
     prior_frame = -1
     relaxed_chain = 0
+    confirmed = False
+    last_full: Optional[Tuple[float, float, float, float]] = None
+    last_full_frame = -1
     frame_idx = 0
     while True:
         ok, frame = cap.read()
@@ -196,12 +239,22 @@ def extract_video_bboxes(video_path: str, detector=None,
             break
         rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         dets = [d for d in detector.detect(rgb) if d[4] >= conf_threshold]
+        if confirmed and prior is not None \
+                and frame_idx - prior_frame > max_gap:
+            confirmed = False          # track lapsed; a new pair must birth
         if dets:
             rows.extend((frame_idx, *d) for d in dets)
             best = max(dets, key=lambda d: d[4])
-            prior, prior_frame, relaxed_chain = best[:4], frame_idx, 0
-            anchor_frames.append(frame_idx)
-        elif (temporal and prior is not None
+            if not confirmed and last_full is not None \
+                    and frame_idx - last_full_frame <= birth_window \
+                    and _iou(best[:4], last_full) >= birth_iou:
+                confirmed = True
+                anchor_frames.append(last_full_frame)  # retroactive anchor
+            last_full, last_full_frame = best[:4], frame_idx
+            if confirmed:
+                prior, prior_frame, relaxed_chain = best[:4], frame_idx, 0
+                anchor_frames.append(frame_idx)
+        elif (temporal and confirmed and prior is not None
                 and frame_idx - prior_frame <= max_gap
                 and relaxed_chain < max_relaxed_chain
                 and hasattr(detector, "detect_near")):

@@ -324,3 +324,80 @@ def test_temporal_extractor_zero_fp_on_test_pattern():
     from mmer_tpu.preprocess.faces import extract_video_bboxes
 
     assert extract_video_bboxes(REF_PATTERN_VIDEO, temporal=True) == []
+
+
+def test_texture_veto_rejects_flat_blobs():
+    """A face-sized flat skin-toned ellipse on a noisy background must be
+    vetoed by the interior-texture gate (measured: real-face detections
+    have interior std ≥35; flat-blob FPs 5-14 — faces.py min_texture_std).
+    The veto must NOT suppress the real-face path (covered by
+    test_haar_detector_finds_real_face, which runs the same detect())."""
+    cv2 = pytest.importorskip("cv2")
+    from mmer_tpu.preprocess.faces import HaarFaceDetector
+
+    det = HaarFaceDetector()
+    rng = np.random.default_rng(0)
+    frame = np.clip(rng.normal(110, 12, (360, 480, 3)), 0, 255)
+    cv2.ellipse(frame, (240, 180), (40, 55), 0, 0, 360,
+                (205, 170, 150), -1)
+    frame = frame.astype(np.uint8)
+    gray = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+    # detect() must equal the raw cascade hits filtered by the veto, and
+    # every surviving box must genuinely pass the texture gate.
+    raw = det._cascade.detect(gray, scale_factor=det.scale_factor,
+                              min_neighbors=det.min_neighbors,
+                              min_size=det.min_size)
+    kept = det.detect(frame)
+    assert kept == [d for d in raw if det._texture_ok(gray, d[:4])]
+    # the flat ellipse itself never survives: no kept box is centered on it
+    for (x1, y1, x2, y2, _) in kept:
+        assert not (abs((x1 + x2) / 2 - 240) < 20
+                    and abs((y1 + y2) / 2 - 180) < 20)
+
+
+def test_track_birth_hysteresis_blocks_isolated_fp_amplification(tmp_path):
+    """One isolated detection must not seed relaxed re-detection or gap
+    interpolation: a clip with the face visible on a SINGLE frame yields
+    rows only at (or about) that frame, while the same face on two
+    consecutive frames births a track whose recovery may extend further.
+    (Measured before the fix: 5% raw FP frames amplified to 25-95%
+    temporal coverage on the synthetic distractor clips.)"""
+    cv2 = pytest.importorskip("cv2")
+    pytest.importorskip("matplotlib")
+    from matplotlib import cbook
+    from PIL import Image
+
+    from mmer_tpu.preprocess.faces import extract_video_bboxes
+
+    img = np.asarray(Image.open(cbook.get_sample_data(
+        "grace_hopper.jpg", asfileobj=False)))
+    img = cv2.resize(img, (256, 300))
+    rng = np.random.default_rng(0)
+
+    def write(path, face_frames, n=12):
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30.0,
+                            (256, 300))
+        if not w.isOpened():
+            pytest.skip("no mp4 encoder")
+        for t in range(n):
+            if t in face_frames:
+                f = img.astype(np.int16) + rng.integers(-8, 8, img.shape)
+                f = np.clip(f, 0, 255).astype(np.uint8)
+            else:
+                f = np.clip(rng.normal(110, 12, img.shape), 0,
+                            255).astype(np.uint8)
+            w.write(f[:, :, ::-1])
+        w.release()
+
+    flash = str(tmp_path / "flash.mp4")
+    write(flash, {5})
+    rows = extract_video_bboxes(flash, temporal=True)
+    # the isolated hit itself may be recorded, but nothing is invented
+    # around it (no relaxed chain, no interpolation)
+    assert {r[0] for r in rows} <= {5}
+
+    pair = str(tmp_path / "pair.mp4")
+    write(pair, {5, 6})
+    rows2 = extract_video_bboxes(pair, temporal=True)
+    frames2 = {r[0] for r in rows2}
+    assert {5, 6} <= frames2 or frames2 == set()  # detector may miss both
