@@ -29,7 +29,14 @@ import traceback
 sys.path.insert(0, "/root/repo")
 
 
+_SKIP: set = set()
+
+
 def stage(name, fn):
+    key = name.split()[0]
+    if key in _SKIP:
+        print(f"\n======== {name} ======== SKIPPED (--from)", flush=True)
+        return
     print(f"\n======== {name} ========", flush=True)
     t0 = time.time()
     try:
@@ -42,7 +49,21 @@ def stage(name, fn):
               flush=True)
 
 
+ORDER = ["probe_aot", "probe_int8", "probe_int8_vivit", "probe_w2v2_flash",
+         "probe_w2v2_qkv", "probe_int8_w2v2", "probe_feature_noise_quality",
+         "probe_ensemble", "probe_mixup_quality"]
+
+
 def main():
+    # --from STAGE: resume the queue mid-way after a partial/crashed run
+    # (each new process pays the relay session-open tax once; resuming
+    # avoids re-paying for stages that already produced results).
+    if len(sys.argv) >= 3 and sys.argv[1] == "--from":
+        start = sys.argv[2]
+        if start not in ORDER:
+            raise SystemExit(f"unknown stage {start!r}; one of {ORDER}")
+        _SKIP.update(ORDER[:ORDER.index(start)])
+
     import scripts.probe_aot as aot
     import scripts.probe_int8 as p8
     import scripts.probe_int8_vivit as p8v
