@@ -63,6 +63,44 @@ def _fingerprint(example_args) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _marker_path(cache_dir: str | None = None, backend: str | None = None
+                 ) -> str:
+    backend = backend or jax.default_backend()
+    return os.path.join(cache_dir or _default_cache_dir(),
+                        f"load_ok.{backend}")
+
+
+def _mark_load_proven(loaded_path: str) -> None:
+    """Record that executable DESERIALIZATION+EXECUTION works on this
+    backend (written on every validated cache load).  The marker lives in
+    the default cache dir regardless of the load's cache_dir — it states a
+    platform capability, not a per-directory fact."""
+    try:
+        mdir = _default_cache_dir()
+        os.makedirs(mdir, exist_ok=True)
+        with open(_marker_path(mdir), "w") as f:
+            f.write(loaded_path + "\n")
+    except OSError:
+        pass
+
+
+def aot_load_proven(cache_dir: str | None = None,
+                    backend: str | None = None) -> bool:
+    """Has a serialized executable ever been loaded AND executed on this
+    backend (any process)?  Gates measured-risk opt-ins: betting a Mosaic
+    path on the AOT cache is only safe once a load is proven, because a
+    failed load falls back to a fresh 131-700 s compile."""
+    return os.path.exists(_marker_path(cache_dir, backend))
+
+
+def aot_artifacts(key_prefix: str, cache_dir: str | None = None) -> list:
+    """Cached executables whose call-site key starts with ``key_prefix``."""
+    import glob
+
+    return sorted(glob.glob(os.path.join(
+        cache_dir or _default_cache_dir(), f"{key_prefix}-*.aotx")))
+
+
 def aot_cached_compile(fn, example_args: tuple, key: str,
                        cache_dir: str | None = None,
                        want_output: bool = False):
@@ -110,6 +148,7 @@ def aot_cached_compile(fn, example_args: tuple, key: str,
             import numpy as _np
             _np.asarray(first.ravel()[:1] if first.ndim else first)
             logger.info("aot: loaded %s (no compile)", os.path.basename(path))
+            _mark_load_proven(path)
             return (compiled, out) if want_output else compiled
         except Exception as e:  # stale/foreign artifact → recompile
             logger.warning("aot: failed to load %s (%s); recompiling",

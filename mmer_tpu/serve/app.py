@@ -285,6 +285,9 @@ def build_fastapi_app(engine: Optional[InferenceEngine] = None):
     return app
 
 
+_TRI = {"auto": None, "on": True, "off": False}
+
+
 def main():
     from mmer_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
@@ -298,16 +301,21 @@ def main():
                         help="norm_stats_*.npz from the training run")
     parser.add_argument("--warmup", action="store_true",
                         help="pre-compile default-request graphs at startup")
-    parser.add_argument("--vivit_flash", action="store_true",
-                        help="use the Pallas (flash-attn + fused-FFN) "
-                             "ViViT in serving: ~9 ms faster per request "
-                             "but restarts re-pay a multi-minute Mosaic "
-                             "compile (its cache key is process-unstable)")
-    parser.add_argument("--wav_pallas", action="store_true",
-                        help="use the fused Pallas conv encoder in the "
-                             "audio model (same trade as --vivit_flash: "
-                             "~4 ms faster per audio batch, restarts "
-                             "re-pay its Mosaic compile)")
+    parser.add_argument("--vivit_flash", nargs="?", const="on",
+                        default="auto", choices=("auto", "on", "off"),
+                        help="Pallas (flash-attn + fused-FFN) ViViT in "
+                             "serving: ~9 ms faster per request but a "
+                             "fresh restart re-pays a multi-minute Mosaic "
+                             "compile (process-unstable cache key). "
+                             "'auto' (default) engages it exactly when a "
+                             "restart provably skips the compile: AOT "
+                             "executable loads are proven on this backend "
+                             "and a cached executable exists (core/aot.py)")
+    parser.add_argument("--wav_pallas", nargs="?", const="on",
+                        default="auto", choices=("auto", "on", "off"),
+                        help="fused Pallas conv encoder in the audio "
+                             "model: same trade and same 'auto' semantics "
+                             "as --vivit_flash")
     parser.add_argument("--vivit_precision", choices=("bf16", "int8"),
                         default="bf16",
                         help="int8 routes the quantized-GEMM ViViT "
@@ -330,8 +338,8 @@ def main():
                              vivit_params_path=args.vivit_params,
                              wav_params_path=args.wav_params,
                              norm_stats_path=args.norm_stats,
-                             vivit_use_flash=args.vivit_flash,
-                             wav_use_pallas=args.wav_pallas,
+                             vivit_use_flash=_TRI[args.vivit_flash],
+                             wav_use_pallas=_TRI[args.wav_pallas],
                              vivit_precision=args.vivit_precision,
                              wav_precision=args.wav_precision)
     if args.warmup:

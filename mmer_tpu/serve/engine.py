@@ -35,6 +35,33 @@ import numpy as np
 from mmer_tpu.config import LABELS, ModelConfig, ViViTConfig, Wav2Vec2Config
 
 
+def _auto_mosaic_opt_in(key_prefix: str, cache_dir: str = None,
+                        backend: str = None) -> bool:
+    """Measured-gated automatic opt-in to a Pallas/Mosaic serving path.
+
+    Serving defaults to pure-XLA graphs because a restart re-pays a
+    Mosaic path's 131-700 s compile (process-unstable persistent-cache
+    key; core/aot.py).  The exception is when a restart provably does NOT
+    pay it: executable deserialization+execution has been validated on
+    this backend (``aot_load_proven`` — the ``probe_aot load`` leg or any
+    later cache load writes the marker) AND an executable for this path
+    already sits in the AOT cache.  Then the fast path costs a load, not
+    a compile, and is strictly better.  Never engages on CPU (XLA:CPU
+    rejects same-machine AOT artifacts) or under MMER_AOT_DISABLE.
+    """
+    if os.environ.get("MMER_AOT_DISABLE"):
+        return False
+    from mmer_tpu.core.aot import aot_artifacts, aot_load_proven
+
+    if backend is None:
+        import jax
+        backend = jax.default_backend()
+    if backend == "cpu":
+        return False
+    return (aot_load_proven(cache_dir, backend)
+            and bool(aot_artifacts(key_prefix, cache_dir)))
+
+
 class InferenceEngine:
     """Lazy-loading, jit-caching engine shared by the HTTP app and tests."""
 
@@ -49,8 +76,8 @@ class InferenceEngine:
                  norm_stats: Optional[dict] = None,
                  norm_stats_path: Optional[str] = None,
                  labels: Sequence[str] = LABELS,
-                 vivit_use_flash: bool = False,
-                 wav_use_pallas: bool = False,
+                 vivit_use_flash: Optional[bool] = None,
+                 wav_use_pallas: Optional[bool] = None,
                  vivit_precision: str = "bf16",
                  wav_precision: str = "bf16"):
         self.model_cfg = model_cfg or ModelConfig()
@@ -80,6 +107,10 @@ class InferenceEngine:
         # ``warmup``).  Extraction keeps the fused Pallas path, where one
         # compile amortizes over thousands of clips and the 97 vs 145 ms
         # per batch matters.
+        # None = AUTO: opt in to the fast Mosaic path only when (a) a
+        # serialized-executable LOAD is proven on this backend and (b) an
+        # artifact for this path already exists — i.e. exactly when a
+        # restart can skip the compile (see _auto_mosaic_opt_in).
         self.vivit_use_flash = vivit_use_flash
         # "int8" routes the quantized-GEMM ViViT (models/vivit_quant.py)
         # — with XLA attention it is Mosaic-free, a candidate for the
@@ -111,9 +142,13 @@ class InferenceEngine:
     def video_extractor(self):
         if self._video_extractor is None:
             from mmer_tpu.preprocess.extract import VideoFeatureExtractor
+            use_flash = self.vivit_use_flash
+            if use_flash is None:
+                use_flash = _auto_mosaic_opt_in(
+                    f"vivit-extract-{self.vivit_precision}-flash")
             self._video_extractor = VideoFeatureExtractor(
                 self.vivit_cfg, params_path=self.vivit_params_path,
-                use_flash=self.vivit_use_flash,
+                use_flash=use_flash,
                 precision=self.vivit_precision)
         return self._video_extractor
 
@@ -121,9 +156,13 @@ class InferenceEngine:
     def audio_embedder(self):
         if self._audio_embedder is None:
             from mmer_tpu.models.wav2vec2 import AudioEmbedder
+            use_pallas = self.wav_use_pallas
+            if use_pallas is None:
+                use_pallas = _auto_mosaic_opt_in(
+                    f"w2v2-embed-{self.wav_precision}-pallas")
             self._audio_embedder = AudioEmbedder(
                 self.wav_cfg, params_path=self.wav_params_path,
-                use_pallas=self.wav_use_pallas,
+                use_pallas=use_pallas,
                 precision=self.wav_precision)
         return self._audio_embedder
 

@@ -75,3 +75,43 @@ def test_pytree_args_round_trip(tmp_path):
                                np.full((2, 3), 3.0), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(c1(params, x)),
                                   np.asarray(c2(params, x)))
+
+
+def test_auto_mosaic_opt_in_gating(tmp_path, monkeypatch):
+    """Serving's auto Pallas opt-in must require BOTH the proven-load
+    marker and a matching artifact, and never engage on CPU or under the
+    kill-switch (engine._auto_mosaic_opt_in)."""
+    from mmer_tpu.serve.engine import _auto_mosaic_opt_in
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache)
+    key = "vivit-extract-bf16-flash"
+    monkeypatch.delenv("MMER_AOT_DISABLE", raising=False)
+    assert not _auto_mosaic_opt_in(key, cache, "tpu")       # nothing yet
+    open(os.path.join(cache, "load_ok.tpu"), "w").close()
+    assert not _auto_mosaic_opt_in(key, cache, "tpu")       # marker alone
+    open(os.path.join(cache, f"{key}-abc.aotx"), "w").close()
+    assert _auto_mosaic_opt_in(key, cache, "tpu")           # both -> on
+    assert not _auto_mosaic_opt_in("w2v2-embed-bf16-pallas", cache, "tpu")
+    open(os.path.join(cache, "load_ok.cpu"), "w").close()
+    assert not _auto_mosaic_opt_in(key, cache, "cpu")       # never on CPU
+    monkeypatch.setenv("MMER_AOT_DISABLE", "1")
+    assert not _auto_mosaic_opt_in(key, cache, "tpu")       # kill-switch
+
+
+def test_load_writes_proven_marker(tmp_path, monkeypatch):
+    """A validated cache load must record the platform capability marker
+    (aot_load_proven) in the default cache dir."""
+    from mmer_tpu.core.aot import aot_load_proven
+
+    cache = str(tmp_path / "aot")
+    monkeypatch.setenv("MMER_AOT_CACHE", cache)
+    a = jnp.ones((4, 8), jnp.float32)
+    b = jnp.ones((8, 2), jnp.float32)
+    aot_cached_compile(_fn, (a, b), key="m", cache_dir=cache)
+    if not [f for f in os.listdir(cache) if f.endswith(".aotx")]:
+        import pytest
+        pytest.skip("backend cannot serialize executables")
+    assert not aot_load_proven(cache)
+    aot_cached_compile(_fn, (a, b), key="m", cache_dir=cache)  # load path
+    assert aot_load_proven(cache)
