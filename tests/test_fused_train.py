@@ -220,3 +220,30 @@ def test_val_acc_best_score_scale_matches_loop(tiny_dataset):
     best_acc_fused = max(r["val_acc"] for r in out_fused.results)
     assert out_loop.best_score == pytest.approx(-best_acc_loop, abs=1e-3)
     assert out_fused.best_score == pytest.approx(-best_acc_fused, abs=1e-3)
+
+
+def test_train_many_seeds_with_mixup_and_modality_dropout(tiny_dataset):
+    """The on-chip quality probe (scripts/probe_mixup_quality.py) runs the
+    regularizers THROUGH train_many_seeds — the vmapped-seed path must
+    (a) run them to completion with finite metrics, (b) give different
+    seeds different trajectories (per-seed rng streams reach the mixup
+    lambda/permutation draws), and (c) match the single-seed fused run's
+    first epoch (the vmap adds a batching dim, not different math)."""
+    from mmer_tpu.train.fused import train_many_seeds
+
+    data, splits = tiny_dataset
+    cfg = TrainConfig(num_epochs=4, lr=1e-3, save_checkpoints=False,
+                      patience=10 ** 9, mixup_alpha=0.3,
+                      modality_dropout=0.4)
+    multi = train_many_seeds(data, splits, CFG, cfg, batch_size=32,
+                             seeds=[0, 3], verbose=False)
+    assert len(multi) == 2
+    for out in multi:
+        assert len(out["results"]) == 4
+        assert np.isfinite([r["val_loss"] for r in out["results"]]).all()
+    assert abs(multi[0]["results"][1]["train_loss"]
+               - multi[1]["results"][1]["train_loss"]) > 1e-5
+    single = train_model(data, splits, CFG, cfg, batch_size=32,
+                         verbose=False, fused=True, seed=0)
+    assert abs(multi[0]["results"][0]["train_loss"]
+               - single.results[0]["train_loss"]) < 5e-3
