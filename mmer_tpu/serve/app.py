@@ -294,7 +294,12 @@ def main():
     parser = argparse.ArgumentParser(description="mmer_tpu serving API")
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
-    parser.add_argument("--fusion_params", default=None)
+    parser.add_argument("--fusion_params", default=None,
+                        help="fusion checkpoint: .msgpack (trainer) or "
+                             ".pth (reference, converted on load); a "
+                             "comma-separated list serves a seed ENSEMBLE "
+                             "(one vmapped program, mean-probability "
+                             "blend — train/ensemble.py semantics)")
     parser.add_argument("--vivit_params", default=None)
     parser.add_argument("--wav_params", default=None)
     parser.add_argument("--norm_stats", default=None,

@@ -127,6 +127,7 @@ class InferenceEngine:
         self._video_extractor = None
         self._audio_embedder = None
         self._fusion = None          # (model, params, jitted apply)
+        self._fusion_members = None  # ensemble size when serving a blend
         self._fusion_logits_fn = None
         self._ig_fn = None
 
@@ -166,13 +167,31 @@ class InferenceEngine:
                 precision=self.wav_precision)
         return self._audio_embedder
 
+    def _load_one_fusion(self, path: str, init_params: dict) -> dict:
+        """One checkpoint → bare params tree.  Loud on every failure mode
+        (anti-(inference.py:236-265))."""
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"fusion checkpoint not found: {path}")
+        if path.endswith(".pth"):
+            # Reference-trained torch checkpoint (train2.py:766-774) — the
+            # migration path.  Shape mismatches against model_cfg raise
+            # loudly (models/port_fusion.py), the exact failure the
+            # reference swallows into a silent random-weight serve.
+            from mmer_tpu.models.port_fusion import load_pth
+            variables, _ = load_pth(path, self.model_cfg)
+            return variables["params"]
+        from mmer_tpu.train.checkpoint import load_params_msgpack
+
+        # Checkpoints store the bare params tree (train/loop.py saves
+        # state.params / best_params).
+        return load_params_msgpack(path, init_params)
+
     @property
     def fusion(self):
         if self._fusion is None:
             import jax
 
             from mmer_tpu.models.fusion import MultimodalEmotionModel
-            from mmer_tpu.train.checkpoint import load_params_msgpack
 
             model = MultimodalEmotionModel(self.model_cfg)
             import jax.numpy as jnp
@@ -184,31 +203,44 @@ class InferenceEngine:
                 jnp.zeros((1, t, self.model_cfg.video_dim)),
                 jnp.zeros((1, self.model_cfg.audio_dim)),
                 jnp.zeros((1, t), bool)))(jax.random.PRNGKey(0))
-            if self.fusion_params_path and os.path.exists(
-                    self.fusion_params_path):
-                if self.fusion_params_path.endswith(".pth"):
-                    # Reference-trained torch checkpoint (train2.py:766-774)
-                    # — the migration path.  Shape mismatches against
-                    # model_cfg raise loudly (models/port_fusion.py), the
-                    # exact failure the reference swallows into a silent
-                    # random-weight serve (inference.py:236-265).
-                    from mmer_tpu.models.port_fusion import load_pth
-                    params, _ = load_pth(self.fusion_params_path,
-                                         self.model_cfg)
-                else:
-                    # Checkpoints store the bare params tree
-                    # (train/loop.py saves state.params / best_params).
-                    params = {"params": load_params_msgpack(
-                        self.fusion_params_path, params["params"])}
-            elif self.fusion_params_path:
-                raise FileNotFoundError(
-                    f"fusion checkpoint not found: {self.fusion_params_path}"
-                )  # loud, unlike the reference's silent random-weight serve
+            # Comma-separated paths = a seed ensemble: members are stacked
+            # on a leading axis and served as ONE vmapped program whose
+            # probabilities are averaged — the serving twin of
+            # train/ensemble.py's mean-probability blend (the measured
+            # +F1 capability beyond the reference's single-model serve).
+            paths = [p.strip() for p in
+                     (self.fusion_params_path or "").split(",") if p.strip()]
+            from mmer_tpu.core.aot import AotJit
+            if len(paths) > 1:
+                trees = [self._load_one_fusion(p, params["params"])
+                         for p in paths]
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]),
+                    *trees)
+                params = {"params": stacked}
+                self._fusion_members = len(trees)
+
+                def ens_apply(p, v, a, m):
+                    probs, logits, _ = jax.vmap(
+                        lambda q: model.apply({"params": q}, v, a, m)
+                    )(p["params"])
+                    # Mean PROBS pick the class (train/ensemble.py
+                    # semantics); mean logits are the ensemble's IG /
+                    # score surrogate.
+                    return probs.mean(0), logits.mean(0), None
+
+                apply = AotJit(
+                    ens_apply,
+                    key=f"fusion-serve-ens{self._fusion_members}")
+                self._fusion = (model, params, apply)
+                return self._fusion
+            if paths:
+                params = {"params": self._load_one_fusion(
+                    paths[0], params["params"])}
             # AOT-cached (core/aot.py): skips per-process tracing+lowering
             # on restart too, not just backend compiles; every engine call
             # site is 4-positional (train/return_attn stay at their
             # defaults), which is AotJit's contract.
-            from mmer_tpu.core.aot import AotJit
             apply = AotJit(lambda p, v, a, m: model.apply(p, v, a, m),
                            key="fusion-serve")
             self._fusion = (model, params, apply)
@@ -229,9 +261,20 @@ class InferenceEngine:
             # traced nor grad'd (on TPU the AotJit resolves to one; the
             # CPU fallback's plain jit masked this in tests).  The
             # non-explain forward keeps the AotJit fusion graph.
-            def logits_fn(p, v, a, m):
-                _, logits, _ = model.apply(p, v, a, m)
-                return logits
+            if self._fusion_members:
+                import jax
+
+                def logits_fn(p, v, a, m):
+                    # Ensemble IG surrogate: attribute the MEAN logits
+                    # (the geometric-mean blend of member probabilities).
+                    _, logits, _ = jax.vmap(
+                        lambda q: model.apply({"params": q}, v, a, m)
+                    )(p["params"])
+                    return logits.mean(0)
+            else:
+                def logits_fn(p, v, a, m):
+                    _, logits, _ = model.apply(p, v, a, m)
+                    return logits
 
             self._fusion_logits_fn = logits_fn
         return self._fusion_logits_fn

@@ -154,6 +154,60 @@ def test_fusion_checkpoint_loading(tmp_path, face_video):
         _ = eng_bad.fusion
 
 
+def test_ensemble_serving_blends_member_probabilities(tmp_path):
+    """Comma-separated --fusion_params serves a mean-probability seed
+    ensemble (train/ensemble.py semantics) through ONE vmapped program:
+    probs must equal the mean of the members' individual serving probs,
+    and the IG logits surrogate must keep its (B, C) contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmer_tpu.models.fusion import MultimodalEmotionModel
+    from mmer_tpu.train.checkpoint import save_params_msgpack
+
+    model = MultimodalEmotionModel(TINY_FUSION)
+    t = TINY_FUSION.max_seq_len - 1
+    paths = []
+    for seed in (3, 9):
+        variables = model.init({"params": jax.random.PRNGKey(seed)},
+                               jnp.zeros((1, t, 768)), jnp.zeros((1, 1024)),
+                               jnp.zeros((1, t), bool))
+        p = str(tmp_path / f"best_model_seed{seed}.msgpack")
+        save_params_msgpack(p, variables["params"])
+        paths.append(p)
+
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(3, t, 768)).astype(np.float32)
+    a = rng.normal(size=(3, 1024)).astype(np.float32)
+    m = np.zeros((3, t), bool)
+
+    singles = []
+    for p in paths:
+        eng = InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
+                              fusion_params_path=p)
+        _, params, apply = eng.fusion
+        singles.append(np.asarray(apply(params, v, a, m)[0]))
+
+    ens = InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
+                          fusion_params_path=",".join(paths))
+    _, params, apply = ens.fusion
+    probs, logits, attn = apply(params, v, a, m)
+    np.testing.assert_allclose(np.asarray(probs),
+                               np.mean(singles, axis=0), atol=1e-5)
+    assert logits.shape == (3, TINY_FUSION.num_classes)
+
+    lg = ens.fusion_logits_fn(params, v, a, m)
+    assert np.asarray(lg).shape == (3, TINY_FUSION.num_classes)
+    assert np.isfinite(np.asarray(lg)).all()
+
+    # a missing member still fails LOUDLY
+    bad = InferenceEngine(
+        model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
+        fusion_params_path=paths[0] + "," + str(tmp_path / "nope.msgpack"))
+    with pytest.raises(FileNotFoundError):
+        _ = bad.fusion
+
+
 def test_multipart_parser():
     boundary = "XBOUND"
     body = (f"--{boundary}\r\n"
