@@ -72,16 +72,17 @@ def _marker_path(cache_dir: str | None = None, backend: str | None = None
 
 def _mark_load_proven(loaded_path: str) -> None:
     """Record that executable DESERIALIZATION+EXECUTION works on this
-    backend (written on every validated cache load).  The marker lives in
-    the default cache dir regardless of the load's cache_dir — it states a
-    platform capability, not a per-directory fact."""
-    try:
-        mdir = _default_cache_dir()
-        os.makedirs(mdir, exist_ok=True)
-        with open(_marker_path(mdir), "w") as f:
-            f.write(loaded_path + "\n")
-    except OSError:
-        pass
+    backend (written on every validated cache load).  The marker states a
+    platform capability, so it is written to BOTH the default cache dir
+    (where ``_auto_mosaic_opt_in`` consults it) and the load's own dir —
+    a reader passing either dir to ``aot_load_proven`` sees it."""
+    for mdir in {_default_cache_dir(), os.path.dirname(loaded_path)}:
+        try:
+            os.makedirs(mdir, exist_ok=True)
+            with open(_marker_path(mdir), "w") as f:
+                f.write(loaded_path + "\n")
+        except OSError:
+            pass
 
 
 def aot_load_proven(cache_dir: str | None = None,

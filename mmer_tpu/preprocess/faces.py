@@ -130,12 +130,7 @@ class HaarFaceDetector:
             if not self._texture_ok(gray, (dx1, dy1, dx2, dy2)):
                 continue
             cand = (dx1 + ex1, dy1 + ey1, dx2 + ex1, dy2 + ey1)
-            ix1, iy1 = max(cand[0], x1), max(cand[1], y1)
-            ix2, iy2 = min(cand[2], x2), min(cand[3], y2)
-            inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
-            union = (bw * bh + (cand[2] - cand[0]) * (cand[3] - cand[1])
-                     - inter)
-            v = inter / max(union, 1e-9)
+            v = _iou(cand, prior)
             if v >= best_iou:
                 best, best_iou = (*cand, conf), v
         return best
@@ -191,7 +186,7 @@ def extract_video_bboxes(video_path: str, detector=None,
                          temporal: bool = True,
                          max_gap: int = 10,
                          max_relaxed_chain: int = 15,
-                         birth_window: int = 5,
+                         birth_window: int = 10,
                          birth_iou: float = 0.3) -> List[BBox]:
     """Per-frame detection → [(frame, x1, y1, x2, y2, conf)], best box per
     frame above threshold (reference keeps every detection ≥ conf;
@@ -217,8 +212,13 @@ def extract_video_bboxes(video_path: str, detector=None,
     seed recovery — without this, a single spurious cascade hit on clutter
     is amplified by relaxation+interpolation (measured on the synthetic
     GT suite: 5% raw FP frames became 25-95% temporal FP frames;
-    scripts/score_detector.py --synthetic).  Real faces detect densely
-    (88-100% raw on the shipped clips), so confirmation costs no recall.
+    scripts/score_detector.py --synthetic).  ``birth_window`` defaults to
+    ``max_gap`` so any detection spacing the recovery stages could bridge
+    can also birth a track — the spatial IoU gate, not the window, is the
+    FP discriminator (scattered clutter hits don't overlap; recurring
+    face-shaped blobs are killed earlier by the texture veto).  Real
+    faces detect densely (88-100% raw on the shipped clips), so
+    confirmation costs no recall there.
     """
     import cv2
 

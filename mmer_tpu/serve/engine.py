@@ -41,13 +41,17 @@ def _auto_mosaic_opt_in(key_prefix: str, cache_dir: str = None,
 
     Serving defaults to pure-XLA graphs because a restart re-pays a
     Mosaic path's 131-700 s compile (process-unstable persistent-cache
-    key; core/aot.py).  The exception is when a restart provably does NOT
-    pay it: executable deserialization+execution has been validated on
-    this backend (``aot_load_proven`` — the ``probe_aot load`` leg or any
-    later cache load writes the marker) AND an executable for this path
-    already sits in the AOT cache.  Then the fast path costs a load, not
-    a compile, and is strictly better.  Never engages on CPU (XLA:CPU
-    rejects same-machine AOT artifacts) or under MMER_AOT_DISABLE.
+    key; core/aot.py).  The exception: executable deserialization+
+    execution has been validated on this backend (``aot_load_proven`` —
+    the ``probe_aot load`` leg or any later cache load writes the marker)
+    AND an executable for this path already sits in the AOT cache.  Then
+    a restart costs a load, not a compile.  Caveat (artifact names key on
+    argument avals): if the only cached executable is for a DIFFERENT
+    shape (e.g. the extraction CLI's batch), the first serving start at a
+    new shape still pays one Mosaic compile — but saves its own artifact,
+    so the cost is once per shape machine-wide, not per restart.  Never
+    engages on CPU (XLA:CPU rejects same-machine AOT artifacts) or under
+    MMER_AOT_DISABLE.
     """
     if os.environ.get("MMER_AOT_DISABLE"):
         return False

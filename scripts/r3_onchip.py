@@ -15,7 +15,10 @@ runs in ONE process, each stage isolated by try/except:
      noise levels (gates the int8 default flip)
   8. probe_ensemble      — seed-ensemble quality headline (beyond-
      reference capability, train/ensemble.py)
+  9. probe_mixup_quality — mixup / modality-dropout recipe A/B (gates
+     the fused-trainer regularizer defaults)
 
+Resume a partial run with ``--from STAGE`` (names as in ORDER below).
 The cross-process AOT *load* leg must run as a separate process:
     python scripts/probe_aot.py load
 """

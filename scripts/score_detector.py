@@ -257,6 +257,8 @@ def build_synthetic_suite(out_dir: str, n_face: int = 4, n_noface: int = 2,
         path = os.path.join(out_dir, f"synth_noface_{i}.mp4")
         vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
                              30.0, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("no mp4 encoder available")
         for t in range(frames):
             frame = _background(i % 3, h, w, rng)
             cx = int(w * (0.5 + 0.35 * np.sin(2 * np.pi * t / frames)))
