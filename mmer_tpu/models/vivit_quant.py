@@ -21,6 +21,19 @@ bf16 production path itself sits ~0.3% from f32).
 The apply function consumes the SAME param tree as the float model (the
 int8 copies are prepared once by :func:`quantize_vivit_params`), so the
 persisted seeded checkpoint stays the single source of truth.
+
+MEASURED NEGATIVE — NOT ROUTED (scripts/probe_int8_vivit, v5e-1, B=16):
+int8 + Pallas attn 118.7 ms vs bf16 fused 95.0 ms (0.80×); int8 + XLA
+attn 149.2 ms (0.64×, killing the Mosaic-free serving idea too).  The
+dynamic per-token quantize/dequantize epilogues are VPU passes over the
+full activation tensor between every GEMM, and XLA does not fuse them
+into the surrounding Pallas custom calls — they cost more than the 2×
+MXU rate saves at these (25k × 768-3072) shapes.  Quality gate failed
+independently: probe_feature_noise_quality measured rel=0.01 feature
+noise dropping train F1 0.76→0.52 (int8's rel-L2 is ~0.02 → ~0.48), so
+a default flip would also need retraining evidence.  Kept as a tested
+oracle + the int8-GEMM pattern library; don't re-route without a
+weight-static (no dynamic activation scale) scheme measured faster.
 """
 
 from __future__ import annotations

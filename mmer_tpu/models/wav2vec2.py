@@ -284,8 +284,12 @@ class Wav2Vec2Encoder(nn.Module):
     # None → follow use_pallas; explicit False keeps the measured-win
     # conv/FFN fusions while attention stays on XLA.
     use_flash_attn: Optional[bool] = None
-    # One-GEMM q/k/v projection (see EncoderLayer.use_fused_qkv).  OFF by
-    # default until scripts/probe_w2v2_qkv.py measures a win on chip.
+    # One-GEMM q/k/v projection (see EncoderLayer.use_fused_qkv).  OFF:
+    # scripts/probe_w2v2_qkv.py measured it LOSING on chip (v5e-1,
+    # B=64: 567.5 vs 656.5 clips/s, bit-identical outputs) — the
+    # per-call (d, 3d) weight concat costs more than the saved
+    # activation re-reads.  Don't re-probe without materializing the
+    # concatenated weight once outside the step.
     use_fused_qkv: bool = False
 
     @nn.compact

@@ -22,6 +22,13 @@ win AND the agreement numbers justify it (scripts/probe_int8_w2v2.py).
 Reference behavior mirrored: voice_extractor.py:37-50 (the embedding
 contract); the transformer math matches models/wav2vec2.py exactly at
 f32, modulo quantization error.
+
+MEASURED NEGATIVE — NOT ROUTED (scripts/probe_int8_w2v2, v5e-1, B=64):
+int8 fused 142.0 ms / 450.8 clips/s vs bf16 fused 99.6 ms / 642.3
+clips/s (0.70×), embedding cosine ≥ 0.99986.  Same root cause as the
+ViViT probe (see models/vivit_quant.py): the dynamic per-token
+quantize/dequantize VPU epilogues between GEMMs cost more than the 2×
+int8 MXU rate saves.  Default stays bf16.
 """
 
 from __future__ import annotations

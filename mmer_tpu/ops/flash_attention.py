@@ -106,7 +106,10 @@ def _attn_kernel_varlen(len_ref, q_ref, k_ref, v_ref, o_ref, *,
     instead of seq_len — harmless, those rows are never consumed.
     """
     s_pad = k_ref.shape[2]
-    kl = len_ref[0]
+    # len_ref is the FULL (B,) vector in SMEM (Pallas TPU rejects rank-1
+    # blocks that are neither full-size nor a 128-multiple); pick this
+    # program's batch element by grid position.
+    kl = len_ref[pl.program_id(0)]
     key_idx = jax.lax.broadcasted_iota(
         jnp.int32, (q_ref.shape[2], s_pad), 1)
     bias = jnp.where(key_idx < kl, 0.0, -1e9).astype(jnp.float32)
@@ -235,7 +238,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         # Dynamic per-batch lengths ride SMEM; the static tail (s..s_pad)
         # is covered by the same bias since key_lens <= s.
         lens = jnp.minimum(key_lens.astype(jnp.int32).reshape(b), s)
-        len_spec = pl.BlockSpec((1,), lambda bi, hi, qi: (bi,),
+        # Full-size rank-1 SMEM block: a (1,) block over a (b,) array
+        # fails Mosaic lowering ("multiple of the tiling size (128)");
+        # the kernel indexes by pl.program_id(0) instead.
+        len_spec = pl.BlockSpec((b,), lambda bi, hi, qi: (0,),
                                 memory_space=pltpu.SMEM)
         out = pl.pallas_call(
             functools.partial(_attn_kernel_varlen, scale=scale,

@@ -1,0 +1,62 @@
+"""Varlen (key-length-masked) flash attention vs the masked XLA oracle.
+
+Covers the Wav2Vec2 padding semantics (models/wav2vec2.py EncoderLayer:
+keys at/after each clip's valid length get a finite -1e9 additive bias,
+mirroring the reference's attention_mask handling in
+/root/reference/voice_extractor.py:37-50 via HF wav2vec2).
+
+Regression for the r3 on-chip failure: the per-batch lengths rode SMEM as
+a (1,) block over a (B,) array, which Mosaic rejects (rank-1 blocks must
+be full-size or a 128-multiple); the kernel now takes the full (B,)
+vector and indexes it by pl.program_id(0).  Interpret mode exercises the
+same BlockSpec/index_map contract.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mmer_tpu.ops.flash_attention import flash_attention
+
+
+def _masked_reference(q, k, v, lens):
+    d = q.shape[-1]
+    s = q.shape[2]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(d)
+    mask = (jnp.arange(s)[None, :] < lens[:, None])[:, None, None, :]
+    scores = scores + jnp.where(mask, 0.0, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@pytest.mark.parametrize("s", [199, 128])
+def test_varlen_matches_masked_reference(s):
+    rng = np.random.default_rng(0)
+    b, h, d = 4, 4, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+               for _ in range(3))
+    # full length, partial, tile-boundary, and the zero-length clip whose
+    # rows must come out finite (uniform), not NaN
+    lens = jnp.asarray([s, max(1, s // 2), 64, 0], jnp.int32)
+
+    out = flash_attention(q, k, v, key_lens=lens)
+    ref = _masked_reference(q, k, v, lens)
+
+    valid = np.asarray(lens) > 0
+    np.testing.assert_allclose(np.asarray(out)[valid],
+                               np.asarray(ref)[valid],
+                               atol=2e-5, rtol=2e-5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_varlen_full_lengths_equals_unmasked():
+    rng = np.random.default_rng(1)
+    b, h, s, d = 2, 2, 96, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+               for _ in range(3))
+    lens = jnp.full((b,), s, jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(flash_attention(q, k, v, key_lens=lens)),
+        np.asarray(flash_attention(q, k, v)),
+        atol=2e-5, rtol=2e-5)
