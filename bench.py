@@ -251,9 +251,11 @@ def bench_extract_scaling(n_devices: int = POD_CHIPS) -> dict | None:
              f"{proc.stderr[-2000:]}")
         return None
     sc = json.loads(proc.stdout.strip().splitlines()[-1])
-    _log(f"extract fan-out dp{n_devices}: video eff "
-         f"{sc['video']['efficiency']:.3f}, audio eff "
-         f"{sc['audio']['efficiency']:.3f}")
+    _log(f"extract fan-out dp{n_devices}: video weak eff "
+         f"{sc['video'].get('weak_efficiency', 0):.3f} "
+         f"(strong {sc['video']['efficiency']:.3f}), audio weak eff "
+         f"{sc['audio'].get('weak_efficiency', 0):.3f} "
+         f"(strong {sc['audio']['efficiency']:.3f})")
     return sc
 
 
@@ -309,15 +311,26 @@ def main() -> None:
         # fans out over the data axis with measured partition efficiency;
         # training is left at its measured SINGLE-chip time (conservative —
         # the fused trainer also runs dp-sharded, see dryrun_multichip).
-        eff_v = scaling["video"]["efficiency"]
-        eff_a = scaling["audio"]["efficiency"]
+        # The projection divides the measured per-chip extraction time by
+        # POD_CHIPS, i.e. each chip keeps its production per-chip batch
+        # and works 1/8 of the dataset — WEAK scaling.  Use the matching
+        # weak-scaling efficiency (partition overhead at the per-chip
+        # batch); the strong-scaling ratio (same global batch split 8
+        # ways) additionally charges a small-batch penalty no pod pays —
+        # r3's "audio efficiency 0.877" was that artifact (VERDICT r3 #8).
+        eff_v = scaling["video"].get("weak_efficiency",
+                                     scaling["video"]["efficiency"])
+        eff_a = scaling["audio"].get("weak_efficiency",
+                                     scaling["audio"]["efficiency"])
         t_pod = (t_video / (POD_CHIPS * min(eff_v, 1.0))
                  + t_audio / (POD_CHIPS * min(eff_a, 1.0)) + t_train)
         pod_clips_s = N_CLIPS / t_pod
         components["extract_scaling"] = {
             "n_devices": POD_CHIPS,
-            "video_efficiency": eff_v,
-            "audio_efficiency": eff_a,
+            "video_weak_efficiency": eff_v,
+            "audio_weak_efficiency": eff_a,
+            "video_strong_efficiency": scaling["video"]["efficiency"],
+            "audio_strong_efficiency": scaling["audio"]["efficiency"],
             "video_max_abs_err": scaling["video"]["max_abs_err"],
             "audio_max_abs_err": scaling["audio"]["max_abs_err"],
         }

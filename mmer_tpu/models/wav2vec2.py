@@ -143,10 +143,54 @@ class ConvFeatureEncoder(nn.Module):
         return x
 
 
+class _SplitGroupedConv(nn.Module):
+    """Grouped 1-D conv computed as ``groups`` ordinary convs.
+
+    Same param layout as the ``nn.Conv(feature_group_count=groups)`` it
+    replaces — kernel ``(k, C//g, C)``, bias ``(C,)``, identical names and
+    path-derived init draws — and mathematically the same op (grouped conv
+    IS g independent convs over channel slices).  Exists because XLA's
+    SPMD partitioner cannot batch-partition a ``feature_group_count > 1``
+    convolution: it ALL-GATHERS the batch-sharded activations and runs the
+    full-batch grouped conv replicated on every device (measured on the
+    8-device mesh: 3 all-gathers, audio fan-out efficiency 0.85-0.88,
+    `scripts/probe_audio_fanout_eff.py` — VERDICT r3 #8).  The split form
+    partitions cleanly (zero collectives)."""
+
+    features: int
+    kernel_size: int
+    groups: int
+    pad: int
+    dtype: object
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C, g, k = self.features, self.groups, self.kernel_size
+        cg = C // g
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, cg, C), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        kb = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        outs = []
+        for i in range(g):
+            outs.append(jax.lax.conv_general_dilated(
+                x[:, :, i * cg:(i + 1) * cg],
+                kb[:, :, i * cg:(i + 1) * cg],
+                (1,), [(self.pad, self.pad)],
+                dimension_numbers=("NHC", "HIO", "NHC")))
+        return jnp.concatenate(outs, axis=-1) + bias.astype(self.dtype)
+
+
 class PosConvEmbed(nn.Module):
-    """Grouped positional convolution (weight-norm folded into the kernel)."""
+    """Grouped positional convolution (weight-norm folded into the kernel).
+
+    ``split_groups`` routes the partitioner-friendly :class:`_SplitGroupedConv`
+    (same params, same math) — set on the mesh fan-out path where the
+    grouped form costs an all-gather + replicated compute."""
 
     cfg: Wav2Vec2Config
+    split_groups: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -154,11 +198,16 @@ class PosConvEmbed(nn.Module):
         dt = _dtype(cfg)
         k = cfg.num_conv_pos_embeddings
         pad = k // 2
-        y = nn.Conv(cfg.hidden_dim, kernel_size=(k,),
-                    padding=[(pad, pad)],
-                    feature_group_count=cfg.num_conv_pos_embedding_groups,
-                    use_bias=True, dtype=dt, param_dtype=jnp.float32,
-                    name="conv")(x.astype(dt))
+        if self.split_groups:
+            y = _SplitGroupedConv(
+                cfg.hidden_dim, k, cfg.num_conv_pos_embedding_groups,
+                pad, dt, name="conv")(x)
+        else:
+            y = nn.Conv(cfg.hidden_dim, kernel_size=(k,),
+                        padding=[(pad, pad)],
+                        feature_group_count=cfg.num_conv_pos_embedding_groups,
+                        use_bias=True, dtype=dt, param_dtype=jnp.float32,
+                        name="conv")(x.astype(dt))
         if k % 2 == 0:
             y = y[:, :-1, :]
         return nn.gelu(y, approximate=False)
@@ -291,6 +340,10 @@ class Wav2Vec2Encoder(nn.Module):
     # activation re-reads.  Don't re-probe without materializing the
     # concatenated weight once outside the step.
     use_fused_qkv: bool = False
+    # Positional conv as g ordinary convs (see _SplitGroupedConv): set on
+    # the mesh fan-out path, where XLA's SPMD partitioner would otherwise
+    # all-gather the batch and run the grouped conv replicated.
+    split_pos_conv: bool = False
 
     @nn.compact
     def __call__(self, wave: jnp.ndarray,
@@ -307,7 +360,8 @@ class Wav2Vec2Encoder(nn.Module):
         # context) positional conv, residual add, layers, final LN.
         if frame_pad_mask is not None:
             x = jnp.where(frame_pad_mask[:, :, None], 0.0, x)
-        x = x + PosConvEmbed(cfg, name="pos_conv")(x).astype(x.dtype)
+        x = x + PosConvEmbed(cfg, split_groups=self.split_pos_conv,
+                             name="pos_conv")(x).astype(x.dtype)
         flash = (self.use_pallas if self.use_flash_attn is None
                  else self.use_flash_attn)
         for i in range(cfg.num_layers):
@@ -420,13 +474,9 @@ class AudioEmbedder:
                  params_path: Optional[str] = None,
                  mesh=None,
                  use_pallas: Optional[bool] = None,
-                 use_fused_qkv: bool = False,
-                 precision: str = "bf16"):
+                 use_fused_qkv: bool = False):
         cfg = cfg or Wav2Vec2Config()
         self.cfg = cfg
-        if precision not in ("bf16", "int8"):
-            raise ValueError(f"precision must be bf16|int8, got {precision}")
-        self.precision = precision
         # None → fused Pallas kernels on TPU (measured faster,
         # scripts/profile_conv_pyramid.py), plain XLA elsewhere (CPU tests
         # and the virtual-mesh dryrun keep the portable path; serving
@@ -436,14 +486,22 @@ class AudioEmbedder:
             from mmer_tpu.ops.conv_pyramid import supports_config
             use_pallas = (jax.default_backend() == "tpu"
                           and supports_config(cfg))
-        # Flash attention stays OFF here until its on-chip A/B lands
-        # (repo rule: only measured wins get routed); the conv-pyramid and
-        # fused-FFN kernels are the measured-faster paths.
-        # use_fused_qkv: one-GEMM q/k/v projections — OFF until
-        # scripts/probe_w2v2_qkv.py measures it on chip (same repo rule).
+        # Flash attention stays OFF: the on-chip A/B (artifacts/probes/
+        # r4_onchip.json, probe_w2v2_flash) measured the Pallas varlen
+        # kernel at 510-513 clips/s vs 651-658 for XLA attention at the
+        # production shape (B=64, S≈199) — XLA wins by 1.28×, decided.
+        # use_fused_qkv: one-GEMM q/k/v projections — measured 0.86× on
+        # chip (probe_w2v2_qkv, r3_onchip.json), kept OFF, decided.
+        # On the mesh fan-out path the grouped positional conv is computed
+        # as g ordinary convs (_SplitGroupedConv, same params): the SPMD
+        # partitioner cannot batch-partition a grouped conv and would
+        # all-gather + replicate it (measured: weak eff 0.85 → see
+        # scripts/probe_audio_fanout_eff.py, VERDICT r3 #8).
+        on_mesh = mesh is not None and getattr(mesh, "size", 1) > 1
         self.model = Wav2Vec2Encoder(cfg, use_pallas=use_pallas,
                                      use_flash_attn=False,
-                                     use_fused_qkv=use_fused_qkv)
+                                     use_fused_qkv=use_fused_qkv,
+                                     split_pos_conv=on_mesh)
         if params is None and params_path:
             from mmer_tpu.train.checkpoint import load_params_msgpack
             target = self._seeded_params()
@@ -452,30 +510,14 @@ class AudioEmbedder:
             params = self._seeded_params()
         self.params = params
 
-        if precision == "int8":
-            # int8 transformer GEMMs (models/wav2vec2_quant.py); the
-            # float tree stays the checkpoint source of truth and rides
-            # along for the conv/LN/bias float path.  Routing stays
-            # probe-gated (scripts/probe_int8_w2v2.py) — these weights
-            # carry trained information once the real checkpoint is
-            # ported, unlike the ViViT's random projection.
-            from mmer_tpu.models.wav2vec2_quant import (quantize_w2v2_params,
-                                                        quant_w2v2_apply)
-            self._run_params = {"p": self.params,
-                                "q": jax.tree_util.tree_map(
-                                    jnp.asarray,
-                                    quantize_w2v2_params(self.params))}
-            _pyramid = use_pallas
+        # bf16 only: the int8-GEMM variant (models/wav2vec2_quant.py)
+        # measured 0.70× bf16 on chip (450.8 vs 642.3 clips/s,
+        # probe_int8_w2v2) — its routing hook was removed; see the r4
+        # notes in wav2vec2_quant.py and artifacts/probes/r3_onchip.json.
+        self._run_params = self.params
 
-            def forward(rp, waves, frame_mask):
-                return quant_w2v2_apply(rp["q"], rp["p"], waves,
-                                        frame_mask, cfg,
-                                        use_pyramid=_pyramid)
-        else:
-            self._run_params = self.params
-
-            def forward(rp, waves, frame_mask):
-                return self.model.apply(rp, waves, frame_mask)
+        def forward(rp, waves, frame_mask):
+            return self.model.apply(rp, waves, frame_mask)
 
         def apply_pool(p, waves, frame_mask):
             """Full model + masked mean-pool + L2 norm ON DEVICE — only the
@@ -490,18 +532,17 @@ class AudioEmbedder:
 
         # Multi-chip fan-out, mirroring VideoFeatureExtractor: waveform
         # batches sharded over the mesh's data axis, params replicated —
-        # embarrassingly parallel, XLA inserts zero collectives (the
-        # reference embeds batch-8 on one GPU, voice_extractor.py:18,37-50).
+        # embarrassingly parallel, zero collectives in the partitioned HLO
+        # once the positional conv is in split form (grouped convs get
+        # all-gathered by the partitioner — probe_audio_fanout_eff.py).
+        # The reference embeds batch-8 on one GPU (voice_extractor.py:18).
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is not None:
             from mmer_tpu.core.mesh import data_sharding, replicated_sharding
             self._n_data = self.mesh.devices.shape[0]
             self.params = jax.device_put(self.params,
                                          replicated_sharding(self.mesh))
-            self._run_params = (
-                self.params if precision == "bf16"
-                else jax.device_put(self._run_params,
-                                    replicated_sharding(self.mesh)))
+            self._run_params = self.params
             self._apply_pool = jax.jit(
                 apply_pool,
                 in_shardings=(replicated_sharding(self.mesh),
@@ -516,7 +557,7 @@ class AudioEmbedder:
             # a serialized executable is the only restart-proof cache for
             # the Pallas path (core/aot.py; plain jit on CPU).
             self._apply_pool = AotJit(
-                apply_pool, key=f"w2v2-embed-{precision}-"
+                apply_pool, key="w2v2-embed-bf16-"
                 f"{'pallas' if use_pallas else 'xla'}")
 
     def _seeded_params(self) -> dict:

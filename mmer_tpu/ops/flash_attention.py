@@ -104,6 +104,14 @@ def _attn_kernel_varlen(len_ref, q_ref, k_ref, v_ref, o_ref, *,
     still round to exactly 0 probability.  The only divergence from the
     XLA path: a fully-masked row averages over s_pad zero-padded values
     instead of seq_len — harmless, those rows are never consumed.
+
+    vmap note: ``len_ref[pl.program_id(0)]`` hard-codes grid dim 0 as
+    the kernel's batch axis.  Pallas's batching rule prepends a grid
+    dimension under ``jax.vmap`` BUT records it in
+    ``GridMapping.vmapped_dims``, and ``program_id`` lowering skips
+    vmapped dims — so axis 0 keeps meaning this kernel's own batch axis
+    and vmapping the varlen path is safe (verified empirically:
+    tests/test_flash_varlen.py::test_varlen_vmap_matches_stacked).
     """
     s_pad = k_ref.shape[2]
     # len_ref is the FULL (B,) vector in SMEM (Pallas TPU rejects rank-1
@@ -161,17 +169,22 @@ _VMEM_BUDGET = 14 * 1024 * 1024     # leave slack under the 16 MB scope
 
 
 def _vmem_bytes(block_q: int, block_h: int, s_pad: int, d: int,
-                itemsize: int) -> int:
+                itemsize: int, varlen: bool = False) -> int:
     """Worst-case VMEM for one program incl. Mosaic double-buffering:
-    2×(q+out) blocks, 2×2 K/V blocks, one f32 scores + one f32 p buffer."""
+    2×(q+out) blocks, 2×2 K/V blocks, one f32 scores + one f32 p buffer.
+    The varlen kernel additionally materializes an f32 bias (plus its
+    int32 iota) at (block_q, s_pad) outside the head loop — two more
+    4-byte planes."""
     q_out = 2 * 2 * block_h * block_q * d * itemsize
     kv = 2 * 2 * block_h * s_pad * d * itemsize
     scores = 2 * block_q * s_pad * 4
+    if varlen:
+        scores += 2 * block_q * s_pad * 4
     return q_out + kv + scores
 
 
-def _pick_blocks(h: int, s_pad: int, d: int, itemsize: int
-                 ) -> tuple[int, int]:
+def _pick_blocks(h: int, s_pad: int, d: int, itemsize: int,
+                 varlen: bool = False) -> tuple[int, int]:
     """(block_q, block_h) maximizing per-program work within VMEM."""
     step = 16 if itemsize == 2 else 8
     block_q = _pick_block_q(s_pad, step=step)
@@ -180,7 +193,7 @@ def _pick_blocks(h: int, s_pad: int, d: int, itemsize: int
             if h % block_h:
                 continue
             if _vmem_bytes(block_q, block_h, s_pad, d,
-                           itemsize) <= _VMEM_BUDGET:
+                           itemsize, varlen=varlen) <= _VMEM_BUDGET:
                 return block_q, block_h
         smaller = _pick_block_q(s_pad, cap=block_q - step, step=step)
         if smaller == block_q:
@@ -210,7 +223,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     s_pad = _round_up(s, 128)
     if block_q is None:
-        block_q, auto_h = _pick_blocks(h, s_pad, d, q.dtype.itemsize)
+        block_q, auto_h = _pick_blocks(h, s_pad, d, q.dtype.itemsize,
+                                       varlen=key_lens is not None)
         block_h = auto_h if block_h is None else block_h
     elif block_h is None:
         block_h = 1

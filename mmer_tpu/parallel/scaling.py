@@ -48,6 +48,11 @@ _W2V2_KW = dict(hidden_dim=128, num_layers=2, num_heads=4, ffn_dim=256,
 def _time_best(fn, reps: int) -> float:
     import jax
 
+    # One untimed warmup: the first call of a fresh executable pays its
+    # compile, and the first touch of a lazily device_put input pays the
+    # transfer — with reps=1 (the dryrun's setting) min() cannot discard
+    # either, which inflated t by ~50x (compile) before this guard.
+    jax.block_until_ready(fn())
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -103,12 +108,35 @@ def measure_extract_scaling(n_devices: int, reps: int = 3,
     dev_chunks = jax.device_put(chunks)
     t_single = _time_best(
         lambda: single._apply(single.params, dev_chunks), reps)
+    # The sharded program is timed with inputs ALREADY at its in_sharding
+    # — the pod analog is each host feeding its own chips.  Timing with
+    # device-0-resident inputs instead charges an input reshard to the
+    # partitioned program (measured +5% on the audio leg,
+    # scripts/probe_audio_fanout_eff.py).
+    from mmer_tpu.core.mesh import data_sharding
+    sh_chunks = jax.device_put(chunks, data_sharding(mesh, chunks.ndim))
     t_sharded = _time_best(
-        lambda: sharded._apply(sharded.params, dev_chunks), reps)
+        lambda: sharded._apply(sharded.params, sh_chunks), reps)
+    # Weak scaling (what bench.py's pod projection actually assumes): each
+    # chip keeps the SAME per-chip batch it was benchmarked at and works
+    # through 1/n of the dataset.  On this ONE-core virtual mesh the n
+    # shards of the partitioned program execute sequentially, so its ideal
+    # time is n × (single-device time at the per-device batch); the ratio
+    #     weak_eff = n · t_single(G/n) / t_sharded(G)
+    # isolates pure partition overhead at the per-chip batch, free of the
+    # small-batch penalty the strong-scaling ratio above also charges.
+    single_pd = VideoFeatureExtractor(vcfg, device_batch=per_device_batch,
+                                      use_flash=False)
+    dev_pd = jax.device_put(chunks[:per_device_batch])
+    t_single_pd = _time_best(
+        lambda: single_pd._apply(single_pd.params, dev_pd), reps)
     out["video"] = {"max_abs_err": v_err, "global_batch": G,
                     "t_single_s": round(t_single, 4),
                     "t_sharded_s": round(t_sharded, 4),
-                    "efficiency": round(t_single / t_sharded, 4)}
+                    "efficiency": round(t_single / t_sharded, 4),
+                    "t_single_per_device_batch_s": round(t_single_pd, 4),
+                    "weak_efficiency": round(
+                        n_devices * t_single_pd / t_sharded, 4)}
 
     # ---- Wav2Vec2 waveform embedding ----------------------------------
     acfg = Wav2Vec2Config(**_W2V2_KW)
@@ -128,12 +156,31 @@ def measure_extract_scaling(n_devices: int, reps: int = 3,
     mask = jax.device_put(np.zeros((G, t_out), bool))
     ta_single = _time_best(
         lambda: a_single._apply_pool(a_single.params, batch, mask), reps)
+    sh_batch = jax.device_put(np.asarray(batch), data_sharding(mesh, 2))
+    sh_mask = jax.device_put(np.asarray(mask), data_sharding(mesh, 2))
     ta_sharded = _time_best(
-        lambda: a_sharded._apply_pool(a_sharded.params, batch, mask), reps)
+        lambda: a_sharded._apply_pool(a_sharded.params, sh_batch, sh_mask),
+        reps)
+    # Weak scaling: same per-chip batch as the single-device bench point
+    # (see the video leg's comment — ideal sharded time on the one-core
+    # mesh is n × the per-device-batch single time).  The strong-scaling
+    # ratio above additionally charges the audio model's small-batch
+    # inefficiency — at G/n the conv pyramid's fixed per-program cost
+    # stops amortizing — which a pod running per-chip batches of the
+    # production size never pays; the r3 bench's "audio efficiency 0.877"
+    # was exactly this artifact (VERDICT r3 #8).
+    batch_pd = jax.device_put(np.asarray(batch[:per_device_batch]))
+    mask_pd = jax.device_put(np.zeros((per_device_batch, t_out), bool))
+    ta_single_pd = _time_best(
+        lambda: a_single._apply_pool(a_single.params, batch_pd, mask_pd),
+        reps)
     out["audio"] = {"max_abs_err": a_err, "global_batch": G,
                     "t_single_s": round(ta_single, 4),
                     "t_sharded_s": round(ta_sharded, 4),
-                    "efficiency": round(ta_single / ta_sharded, 4)}
+                    "efficiency": round(ta_single / ta_sharded, 4),
+                    "t_single_per_device_batch_s": round(ta_single_pd, 4),
+                    "weak_efficiency": round(
+                        n_devices * ta_single_pd / ta_sharded, 4)}
     return out
 
 

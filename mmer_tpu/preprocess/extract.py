@@ -47,8 +47,7 @@ class VideoFeatureExtractor:
                  device_batch: int = 8,
                  params_path: Optional[str] = None,
                  use_flash: bool = True,
-                 mesh=None,
-                 precision: str = "bf16"):
+                 mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -56,51 +55,28 @@ class VideoFeatureExtractor:
         from mmer_tpu.train.checkpoint import (load_params_msgpack,
                                                save_params_msgpack)
 
-        if precision not in ("bf16", "int8"):
-            raise ValueError(f"precision must be bf16|int8, got {precision}")
         self.cfg = cfg or ViViTConfig()
         self._jnp = jnp
-        self.precision = precision
         model, params = init_vivit_params(self.cfg, use_flash=use_flash)
         if params_path:
             if os.path.exists(params_path):
                 params = load_params_msgpack(params_path, params)
             else:
                 save_params_msgpack(params_path, params)
-        # The float tree stays the single source of truth (persisted
-        # checkpoint contract) even when the int8 side table drives the
-        # forward pass.
         self.params = params
+        # bf16 only: the int8-GEMM variant (models/vivit_quant.py) measured
+        # 0.80x bf16 on chip with a quality-fatal rel-l2 (~0.02) — its
+        # routing hook was removed; see the r4 notes in vivit_quant.py and
+        # artifacts/probes/r3_onchip.json.
+        self._run_params = params
 
-        if precision == "int8":
-            # int8-GEMM forward (models/vivit_quant.py): same seeded
-            # params, per-token activation scales; the uint8 pixel path
-            # is exact, so device-normalized float input is first
-            # re-quantized to the identical uint8 the serving crop path
-            # produces.  Composes with the mesh fan-out below — the int8
-            # side table is replicated exactly like the float params
-            # (batch-sharded IO, zero collectives).
-            from mmer_tpu.models.vivit_quant import (quant_vivit_apply,
-                                                     quantize_vivit_params)
-            self._run_params = jax.tree_util.tree_map(
-                jnp.asarray, quantize_vivit_params(params))
-
-            def _embed(qp, x):
-                if x.dtype != jnp.uint8:
-                    x = jnp.clip(jnp.round(x * 255.0), 0, 255
-                                 ).astype(jnp.uint8)
-                return quant_vivit_apply(qp, x, self.cfg,
-                                         use_flash=use_flash)
-        else:
-            self._run_params = params
-
-            def _embed(p, x):
-                # uint8 frames are normalized ON DEVICE: 4× less
-                # host→device transfer than pre-scaled float32 (the XLA
-                # cast+mul fuses into the tubelet GEMM's prologue).
-                if x.dtype == jnp.uint8:
-                    x = x.astype(jnp.float32) / 255.0
-                return model.apply(p, x)
+        def _embed(p, x):
+            # uint8 frames are normalized ON DEVICE: 4× less
+            # host→device transfer than pre-scaled float32 (the XLA
+            # cast+mul fuses into the tubelet GEMM's prologue).
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            return model.apply(p, x)
 
         self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
         if self.mesh is not None:
@@ -111,10 +87,7 @@ class VideoFeatureExtractor:
             # an identical per-chip block (one compiled program).
             self.device_batch = -(-device_batch // n_data) * n_data
             self.params = jax.device_put(params, replicated_sharding(mesh))
-            self._run_params = (
-                self.params if precision == "bf16"
-                else jax.device_put(self._run_params,
-                                    replicated_sharding(mesh)))
+            self._run_params = self.params
             self._apply = jax.jit(
                 _embed,
                 in_shardings=(replicated_sharding(mesh),
@@ -128,26 +101,44 @@ class VideoFeatureExtractor:
             # custom call makes the XLA persistent-cache key
             # process-unstable (core/aot.py, serve/engine.py notes).
             self._apply = AotJit(
-                _embed, key=f"vivit-extract-{precision}-"
+                _embed, key=f"vivit-extract-bf16-"
                 f"{'flash' if use_flash else 'xla'}")
 
-    def embed_chunks(self, chunks) -> np.ndarray:
+    def embed_chunks(self, chunks, pipeline: bool = True) -> np.ndarray:
         """(N, F, H, W, C) float32 in [0,1] or raw uint8 → (N, 768); pads N
         to the device batch size so every call hits the same compiled
         program.  Accepts a device-resident jnp array (padding then happens
-        on device — no host round-trip)."""
+        on device — no host round-trip).
+
+        Multi-block calls run a two-deep pipeline (VERDICT r3 #6): JAX
+        dispatch is async, so block i+1's host-side staging + H2D transfer
+        is enqueued BEFORE block i's result is fetched — the device never
+        idles between blocks, and at most two input blocks (~150 MB at the
+        production shape) are live on device.  The blocking ``np.asarray``
+        on a (bs, 768) output is the only sync point per block.
+        ``pipeline=False`` restores the serial fetch-then-stage loop (the
+        reference's per-chunk GPU loop shape, video_extractor.py:152-156)
+        — kept for the A/B in scripts/probe_extract_pipeline.py."""
         jnp = self._jnp
         xp = jnp if isinstance(chunks, jnp.ndarray) else np
         n = chunks.shape[0]
         bs = self.device_batch
         out: List[np.ndarray] = []
+        in_flight = None
         for start in range(0, n, bs):
             block = chunks[start:start + bs]
             if block.shape[0] < bs:
                 pad = xp.repeat(block[-1:], bs - block.shape[0], axis=0)
                 block = xp.concatenate([block, pad], axis=0)
             feats = self._apply(self._run_params, jnp.asarray(block))
-            out.append(np.asarray(feats))
+            if not pipeline:
+                out.append(np.asarray(feats))
+                continue
+            if in_flight is not None:
+                out.append(np.asarray(in_flight))
+            in_flight = feats
+        if in_flight is not None:
+            out.append(np.asarray(in_flight))
         return np.concatenate(out)[:n]
 
     def embed_cropped_frames(self, frames_u8: np.ndarray, bboxes: np.ndarray,
@@ -389,8 +380,7 @@ def extract_video_folder(input_dir: str, output_dir: str,
 def extract_audio_folder(input_dir: str, output_dir: str,
                          cfg: Optional[Wav2Vec2Config] = None,
                          batch_size: int = 64,
-                         verbose: bool = True,
-                         precision: str = "bf16") -> int:
+                         verbose: bool = True) -> int:
     """Audio twin of :func:`extract_video_folder` (reference
     voice_extractor.py:53-146): decode → 16 kHz mono → Wav2Vec2 embed →
     L2-normalized (1024,) float16 npy with dataset-specific renaming.
@@ -403,7 +393,7 @@ def extract_audio_folder(input_dir: str, output_dir: str,
     from mmer_tpu.preprocess.audio import audio_output_name
 
     cfg = cfg or Wav2Vec2Config()
-    embedder = AudioEmbedder(cfg, precision=precision)
+    embedder = AudioEmbedder(cfg)
     count = 0
     for path, emb in iter_audio_embeddings(input_dir, embedder, batch_size,
                                            verbose):
@@ -504,17 +494,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                     help="persisted ViViT params (created on first use)")
     pv.add_argument("--mesh", action="store_true",
                     help="shard chunk batches over all devices (dp mesh)")
-    pv.add_argument("--precision", choices=("bf16", "int8"), default="bf16",
-                    help="int8 routes the quantized-GEMM ViViT "
-                         "(models/vivit_quant.py; composes with --mesh)")
 
     pa = sub.add_parser("audio", help="extract (1024,) audio embeddings")
     pa.add_argument("--input", required=True)
     pa.add_argument("--output", required=True)
     pa.add_argument("--batch_size", type=int, default=8)
-    pa.add_argument("--precision", choices=("bf16", "int8"), default="bf16",
-                    help="int8 routes the quantized-GEMM Wav2Vec2 "
-                         "transformer (models/wav2vec2_quant.py)")
 
     args = parser.parse_args(argv)
     from mmer_tpu.core.cache import enable_persistent_cache
@@ -527,14 +511,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             mesh = create_mesh(MeshConfig())
         extractor = VideoFeatureExtractor(device_batch=args.device_batch,
                                           params_path=args.params,
-                                          mesh=mesh,
-                                          precision=args.precision)
+                                          mesh=mesh)
         extract_video_folder(args.input, args.output, extractor,
                              chunk_size=args.chunk_size)
     else:
         extract_audio_folder(args.input, args.output,
-                             batch_size=args.batch_size,
-                             precision=args.precision)
+                             batch_size=args.batch_size)
 
 
 if __name__ == "__main__":

@@ -321,15 +321,6 @@ def main():
                         help="fused Pallas conv encoder in the audio "
                              "model: same trade and same 'auto' semantics "
                              "as --vivit_flash")
-    parser.add_argument("--vivit_precision", choices=("bf16", "int8"),
-                        default="bf16",
-                        help="int8 routes the quantized-GEMM ViViT "
-                             "(Mosaic-free with XLA attention; see "
-                             "scripts/probe_int8_vivit.py)")
-    parser.add_argument("--wav_precision", choices=("bf16", "int8"),
-                        default="bf16",
-                        help="int8 routes the quantized-GEMM Wav2Vec2 "
-                             "transformer (scripts/probe_int8_w2v2.py)")
     parser.add_argument("--max_upload_mb", type=int,
                         default=DEFAULT_MAX_UPLOAD_BYTES >> 20,
                         help="reject uploads larger than this with 413")
@@ -344,9 +335,7 @@ def main():
                              wav_params_path=args.wav_params,
                              norm_stats_path=args.norm_stats,
                              vivit_use_flash=_TRI[args.vivit_flash],
-                             wav_use_pallas=_TRI[args.wav_pallas],
-                             vivit_precision=args.vivit_precision,
-                             wav_precision=args.wav_precision)
+                             wav_use_pallas=_TRI[args.wav_pallas])
     if args.warmup:
         resolutions = []
         for part in filter(None, args.warmup_resolutions.split(",")):

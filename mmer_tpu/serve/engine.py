@@ -81,9 +81,7 @@ class InferenceEngine:
                  norm_stats_path: Optional[str] = None,
                  labels: Sequence[str] = LABELS,
                  vivit_use_flash: Optional[bool] = None,
-                 wav_use_pallas: Optional[bool] = None,
-                 vivit_precision: str = "bf16",
-                 wav_precision: str = "bf16"):
+                 wav_use_pallas: Optional[bool] = None):
         self.model_cfg = model_cfg or ModelConfig()
         self.vivit_cfg = vivit_cfg or ViViTConfig()
         self.wav_cfg = wav_cfg or Wav2Vec2Config()
@@ -116,12 +114,12 @@ class InferenceEngine:
         # artifact for this path already exists — i.e. exactly when a
         # restart can skip the compile (see _auto_mosaic_opt_in).
         self.vivit_use_flash = vivit_use_flash
-        # "int8" routes the quantized-GEMM ViViT (models/vivit_quant.py)
-        # — with XLA attention it is Mosaic-free, a candidate for the
-        # restart-sensitive serving default once measured on chip
-        # (scripts/probe_int8_vivit.py).
-        self.vivit_precision = vivit_precision
-        self.wav_precision = wav_precision
+        # NOTE: the int8 serving route (--vivit_precision/--wav_precision)
+        # was removed in r4 — the quantized-GEMM variants measured SLOWER
+        # on chip (ViViT 0.80× bf16, XLA-attn variant 0.64×; W2V2 0.70×)
+        # with a quality-fatal rel-l2 ≈ 0.02 (artifacts/probes/
+        # r3_onchip.json).  models/{vivit,wav2vec2}_quant.py remain as
+        # documented negative results with agreement tests.
         # Same policy for the audio conv encoder's fused Pallas kernels
         # (ops/conv_pyramid.py): XLA by default in serving, opt in with
         # --wav_pallas.  Extraction keeps the fused path (AudioEmbedder's
@@ -149,12 +147,10 @@ class InferenceEngine:
             from mmer_tpu.preprocess.extract import VideoFeatureExtractor
             use_flash = self.vivit_use_flash
             if use_flash is None:
-                use_flash = _auto_mosaic_opt_in(
-                    f"vivit-extract-{self.vivit_precision}-flash")
+                use_flash = _auto_mosaic_opt_in("vivit-extract-bf16-flash")
             self._video_extractor = VideoFeatureExtractor(
                 self.vivit_cfg, params_path=self.vivit_params_path,
-                use_flash=use_flash,
-                precision=self.vivit_precision)
+                use_flash=use_flash)
         return self._video_extractor
 
     @property
@@ -163,12 +159,10 @@ class InferenceEngine:
             from mmer_tpu.models.wav2vec2 import AudioEmbedder
             use_pallas = self.wav_use_pallas
             if use_pallas is None:
-                use_pallas = _auto_mosaic_opt_in(
-                    f"w2v2-embed-{self.wav_precision}-pallas")
+                use_pallas = _auto_mosaic_opt_in("w2v2-embed-bf16-pallas")
             self._audio_embedder = AudioEmbedder(
                 self.wav_cfg, params_path=self.wav_params_path,
-                use_pallas=use_pallas,
-                precision=self.wav_precision)
+                use_pallas=use_pallas)
         return self._audio_embedder
 
     def _load_one_fusion(self, path: str, init_params: dict) -> dict:

@@ -1,9 +1,10 @@
 """Quality sensitivity of the fusion model to extractor quantization noise.
 
-The int8 routing decision (``--precision int8`` extractors,
-models/{vivit,wav2vec2}_quant.py) changes the embedding functions by a
-measured relative error (ViViT rel-l2 ~1% vs bf16, cos >= 0.9999;
-Wav2Vec2 per the on-chip probe).  Raw data is not shipped here, so the
+int8 extraction (models/{vivit,wav2vec2}_quant.py — routing removed in
+r4 after it also measured SLOWER on chip) changes the embedding
+functions by a measured relative error (ViViT rel-l2 ~2% vs bf16, cos
+>= 0.9999; Wav2Vec2 per the on-chip probe).  Raw data is not shipped
+here, so the
 end-to-end "extract int8 -> train -> F1" check cannot run — instead this
 probe injects noise OF THAT MAGNITUDE into the reference's own shipped
 features BEFORE dataset normalization (exactly where quantization error
@@ -15,8 +16,31 @@ If F1 at rel = the measured quantization error matches rel = 0 within
 seed noise, the int8 flip is quality-safe; the README band for the
 winning recipe is 0.7587 +/- 0.005 best-epoch (3+ seeds).
 
+MECHANICS AUDIT (r4, per VERDICT r3 #4 — the on-chip cliff 0.76 -> 0.52
+at rel=0.01 looked too severe to trust unexamined):
+  - noise IS frozen: sampled once per (level, fixed seed 1234) into the
+    feature arrays themselves, before ``dataset_from_features``; the
+    trainer never resamples it (train/val/test all see one realization,
+    like a changed embedding function would produce);
+  - noise IS pre-normalization: z-score stats are computed from the
+    NOISED train split inside ``dataset_from_features``, matching where
+    extractor-numerics error enters production;
+  - all three splits are noised consistently (one pass over the full
+    catalog before splitting).
+So the mechanics are sound.  The severity mechanism is normalization
+amplification: features are z-scored PER DIMENSION, so isotropic noise
+at 1% of a sample's overall L2 norm lands with amplitude 1/sigma_d in
+trained-model space for every low-variance dimension d — the model
+reads those dimensions at full gain.  Deterministic int8 error has the
+same per-tensor-scale structure (error magnitude set by the absmax
+scale, not by sigma_d), so the amplification applies to it too; the
+probe is a fair severity model, and ``--modality`` + the rel=0.005
+control (r4 runs, artifacts/probes/) locate where the sensitivity
+lives.
+
 Run: python scripts/probe_feature_noise_quality.py \
-        [--levels 0,0.01,0.02,0.05] [--seeds 2] [--epochs 400]
+        [--levels 0,0.005,0.01,0.02] [--seeds 2] [--epochs 400] \
+        [--modality both|video|audio]
 """
 
 from __future__ import annotations
@@ -51,6 +75,10 @@ def main() -> None:
     parser.add_argument("--seeds", type=int, default=2)
     parser.add_argument("--epochs", type=int, default=400)
     parser.add_argument("--epochs_per_call", type=int, default=100)
+    parser.add_argument("--modality", choices=("both", "video", "audio"),
+                        default="both",
+                        help="which modality receives the noise (locates "
+                             "the sensitivity; VERDICT r3 #4)")
     args = parser.parse_args()
     levels = [float(x) for x in args.levels.split(",")]
 
@@ -68,12 +96,14 @@ def main() -> None:
     videos0, audios0 = load_feature_arrays(catalog)
     labels = np.asarray([e.label for e in catalog], dtype=np.int32)
 
-    summary = {}
+    summary = {"modality": args.modality}
     for rel in levels:
         nrng = np.random.default_rng(1234)
-        videos = _noised(videos0, rel, nrng)
-        audios = np.stack(_noised(list(audios0), rel, nrng)) \
-            if rel > 0 else audios0
+        rel_v = rel if args.modality in ("both", "video") else 0.0
+        rel_a = rel if args.modality in ("both", "audio") else 0.0
+        videos = _noised(videos0, rel_v, nrng)
+        audios = np.stack(_noised(list(audios0), rel_a, nrng)) \
+            if rel_a > 0 else audios0
         data, splits = dataset_from_features(
             videos, audios, labels,
             [e.key for e in catalog], cfg)

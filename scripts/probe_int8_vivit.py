@@ -1,19 +1,19 @@
 """Probe: end-to-end int8-GEMM ViViT vs the production bf16 path.
 
-v5e's MXU does int8 at 2x its bf16 rate (394.7 vs 197 TOPS) and the
-model-with-attention-removed already runs at 40.7% bf16 MFU (README MFU
-table) — i.e. most of the non-attention time is MXU-bound GEMMs that int8
-could halve.  The ViViT is a FIXED RANDOM projection (reference
-video_extractor.py:184), so a quantized extractor is a
-different-but-equally-valid embedding function — the full argument and
-the quantization scheme live in models/vivit_quant.py; CPU agreement
-tests in tests/test_quant.py.
+DECIDED (ran on chip 2026-08-19, artifacts/probes/r3_onchip.json):
+int8 measured 0.80× bf16 (118.7 vs 95.0 ms; XLA-attn variant 0.64×)
+with rel-l2 ≈ 0.02 — the feature-noise level that collapses downstream
+F1 (probe_feature_noise_quality).  The ``precision='int8'`` routing was
+removed in r4; this probe keeps the direct quant-apply measurement for
+reproducibility.  Hypothesis for the loss: the per-token quant/dequant
+epilogues are bandwidth-bound VPU work that XLA cannot fuse into the
+Mosaic GEMMs, and v5e's 2× int8 MXU rate never shows at these
+arithmetic intensities.
 
 Prints: time + chunks/s for (a) the production bf16 fused path (also
 exercising the AotJit wiring on TPU), (b) the int8 path with Pallas
-attention, (c) the int8 path with XLA attention (Mosaic-free — a
-candidate for the restart-sensitive serving default), plus feature
-cosine agreement vs (a).
+attention, (c) the int8 path with XLA attention (Mosaic-free), plus
+feature cosine agreement vs (a).
 """
 
 from __future__ import annotations
@@ -75,15 +75,10 @@ def main():
         print(f"   agreement vs bf16: cos {cos.min():.5f}..{cos.max():.5f} "
               f"rel-l2 {rel.mean():.4f}", flush=True)
 
-    # (d) the PRODUCTION routing hook: VideoFeatureExtractor(precision=
-    # "int8") — quantized side table + AotJit wrapping, uint8 in.
-    exq = VideoFeatureExtractor(cfg, device_batch=B, use_flash=True,
-                                precision="int8")
-    t_route = timed(lambda x: exq._apply(exq._run_params, x),
-                    [(b,) for b in batches])
-    print(f"int8 extractor hook  : {t_route * 1e3:7.1f} ms  "
-          f"{B / t_route:6.1f} chunks/s  speedup {t_bf16 / t_route:4.2f}x",
-          flush=True)
+    # (the former leg (d) exercised VideoFeatureExtractor(precision=
+    # "int8") — that routing hook was removed in r4 after this probe
+    # measured the int8 path slower; legs (b)/(c) above still measure
+    # the quantized forward directly.)
 
 
 if __name__ == "__main__":

@@ -6,13 +6,12 @@ pyramid + fused FFN), (b) the int8 path on the same fused conv pyramid
 (models/wav2vec2_quant.py: transformer GEMMs int8, conv/LN/attention
 float), plus embedding cosine agreement.
 
-Decision input for ``AudioEmbedder(precision=...)``: the transformer is
-~70% of W2V2 time at 45-49% bf16 MFU (README MFU table), v5e int8 peak
-is 2x bf16 — but unlike the ViViT these weights carry trained
-information once the real checkpoint lands, so a win must also show
-cosine agreement tight enough to not move the downstream classifier
-(tests/test_quant.py quantifies on CPU; threshold discussion in
-models/wav2vec2_quant.py docstring).
+DECIDED (ran on chip 2026-08-19, artifacts/probes/r3_onchip.json):
+int8 measured 0.70× bf16 (450.8 vs 642.3 clips/s) — the per-token
+quant/dequant epilogues cost more than the int8 MXU rate saves at this
+shape.  The ``AudioEmbedder(precision=...)`` routing it was the decision
+input for was removed in r4; this probe now builds the quantized forward
+directly and is kept for reproducibility.
 """
 
 from __future__ import annotations
@@ -54,15 +53,31 @@ def main():
           flush=True)
 
     emb_f = AudioEmbedder(cfg, use_pallas=True)
-    emb_q = AudioEmbedder(cfg, use_pallas=True, precision="int8",
-                          params=emb_f.params)
+    # int8 forward built directly (the embedder's precision= routing was
+    # removed in r4 after this probe measured it slower): quantized
+    # transformer GEMMs + the same masked-mean-pool/L2 tail on device.
+    from mmer_tpu.models.wav2vec2_quant import (quant_w2v2_apply,
+                                                quantize_w2v2_params)
+    qp = jax.block_until_ready(jax.tree_util.tree_map(
+        jnp.asarray, quantize_w2v2_params(emb_f.params)))
+
+    @jax.jit
+    def q_pool(q, p, w, m):
+        hidden = quant_w2v2_apply(q, p, w, m, cfg, use_pyramid=True)
+        keep = (~m)[:, :, None].astype(hidden.dtype)
+        summed = jnp.sum(hidden * keep, axis=1)
+        emb = summed / jnp.maximum(jnp.sum(keep, axis=1), 1.0)
+        return emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
 
     outs = {}
-    for name, emb in (("bf16 fused  ", emb_f), ("int8 fused  ", emb_q)):
-        t = timed(lambda w, e=emb: e._apply_pool(e._run_params, w, mask),
-                  [(w,) for w in waves])
-        outs[name] = np.asarray(
-            emb._apply_pool(emb._run_params, waves[0], mask), np.float32)
+    for name, fn in (
+            ("bf16 fused  ",
+             lambda w: emb_f._apply_pool(emb_f.params, w, mask)),
+            ("int8 fused  ",
+             lambda w: q_pool(qp, emb_f.params, w, mask))):
+        t = timed(lambda w, f=fn: f(w), [(w,) for w in waves])
+        outs[name] = np.asarray(fn(waves[0]), np.float32)
         print(f"{name}: {t*1e3:6.1f} ms  {B/t:6.1f} clips/s", flush=True)
 
     a, bq = outs["bf16 fused  "], outs["int8 fused  "]

@@ -85,3 +85,16 @@ def test_measure_extract_scaling_smoke():
     for modality in ("video", "audio"):
         assert sc[modality]["max_abs_err"] < 1e-5
         assert sc[modality]["efficiency"] > 0
+
+
+def test_pipeline_false_matches_pipelined():
+    """embed_chunks' two-deep double buffer (pipeline=True, the default)
+    and the serial fetch-then-stage loop (pipeline=False — the A/B leg in
+    scripts/probe_extract_pipeline.py) are pure loop-shape variants of the
+    same computation and must agree bit-exactly."""
+    single = VideoFeatureExtractor(TINY, device_batch=4, use_flash=False)
+    rng = np.random.default_rng(3)
+    chunks = (rng.random((11, 8, 32, 32, 3)) * 255).astype(np.uint8)
+    a = single.embed_chunks(chunks, pipeline=True)
+    b = single.embed_chunks(chunks, pipeline=False)
+    np.testing.assert_array_equal(a, b)

@@ -50,6 +50,32 @@ def test_varlen_matches_masked_reference(s):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_varlen_vmap_matches_stacked():
+    """The varlen kernel indexes lengths by pl.program_id(0).  Pallas's
+    batching rule prepends a grid dim under jax.vmap but records it in
+    GridMapping.vmapped_dims, and program_id lowering SKIPS vmapped dims
+    — so grid axis 0 keeps meaning the kernel's own batch axis and a
+    vmapped varlen call must equal the same computation stacked into
+    the leading B axis.  (Advisory r3 flagged this as a latent hazard;
+    it is in fact handled — this test pins the guarantee.)"""
+    rng = np.random.default_rng(2)
+    g, b, h, s, d = 2, 3, 2, 128, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(g, b, h, s, d))
+                           .astype(np.float32)) for _ in range(3))
+    lens = jnp.asarray([[s, 40, 90], [17, s, 64]], jnp.int32)
+
+    vmapped = jax.vmap(lambda qq, kk, vv, ll: flash_attention(
+        qq, kk, vv, key_lens=ll, interpret=True))(q, k, v, lens)
+    stacked = flash_attention(q.reshape(g * b, h, s, d),
+                              k.reshape(g * b, h, s, d),
+                              v.reshape(g * b, h, s, d),
+                              key_lens=lens.reshape(g * b),
+                              interpret=True).reshape(g, b, h, s, d)
+    # Ground truth via the stacked path (itself oracle-checked above).
+    np.testing.assert_allclose(np.asarray(vmapped), np.asarray(stacked),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_varlen_full_lengths_equals_unmasked():
     rng = np.random.default_rng(1)
     b, h, s, d = 2, 2, 96, 64

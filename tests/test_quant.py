@@ -1,5 +1,12 @@
-"""int8 quantization primitives + quantized ViViT agreement with the
-float path (ops/quant.py, models/vivit_quant.py)."""
+"""int8 quantization primitives + quantized ViViT/W2V2 agreement with
+the float path (ops/quant.py, models/{vivit,wav2vec2}_quant.py).
+
+The quant modules are kept as DOCUMENTED NEGATIVE RESULTS: on chip they
+measured 0.80× bf16 (ViViT; XLA-attn variant 0.64×) and 0.70× (W2V2),
+with rel-l2 ≈ 0.02 vs bf16 — at the feature-noise level that collapses
+downstream F1 (artifacts/probes/r3_onchip.json).  Their user-facing
+routing (extractor ``precision=`` kwargs, serving/CLI flags) was removed
+in r4; these tests pin the modules' numerical contract directly."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -87,12 +94,11 @@ def test_quant_vivit_deterministic(small_vivit):
     np.testing.assert_array_equal(a, b)
 
 
-def test_extractor_precision_int8_routing(tmp_path):
-    """``VideoFeatureExtractor(precision='int8')`` — the production
-    routing hook for the quantized forward — agrees with the bf16
-    extractor on the same seeded params, for both raw-uint8 and
-    device-normalized float input (the float input is re-quantized to
-    the identical uint8 on device)."""
+def test_quant_vivit_agrees_with_production_extractor(tmp_path):
+    """The quantized forward agrees with the PRODUCTION bf16 extractor
+    on the same persisted params (the comparison the removed
+    ``precision='int8'`` routing used to make), and float input
+    re-quantized to uint8 matches the raw-uint8 result exactly."""
     from mmer_tpu.preprocess.extract import VideoFeatureExtractor
 
     cfg = ViViTConfig(num_frames=8, image_size=(32, 32), depth=2, dim=64,
@@ -101,50 +107,24 @@ def test_extractor_precision_int8_routing(tmp_path):
     path = str(tmp_path / "vivit.msgpack")
     ex_f = VideoFeatureExtractor(cfg, device_batch=2, params_path=path,
                                  use_flash=False)
-    ex_q = VideoFeatureExtractor(cfg, device_batch=2, params_path=path,
-                                 use_flash=False, precision="int8")
 
     rng = np.random.default_rng(5)
     vid_u8 = rng.integers(0, 256, size=(3, 8, 32, 32, 3), dtype=np.uint8)
 
     f = ex_f.embed_chunks(vid_u8)
-    q = ex_q.embed_chunks(vid_u8)
+    qp = quantize_vivit_params(ex_f.params)
+    q = np.asarray(quant_vivit_apply(qp, jnp.asarray(vid_u8), cfg,
+                                     use_flash=False))
     assert f.shape == q.shape == (3, 64)
     cos = np.sum(f * q, axis=1) / (
         np.linalg.norm(f, axis=1) * np.linalg.norm(q, axis=1))
     assert np.all(cos > 0.999), cos
 
     # float input re-quantizes to the same uint8 → identical features
-    q2 = ex_q.embed_chunks(vid_u8.astype(np.float32) / 255.0)
+    x = jnp.asarray(vid_u8.astype(np.float32) / 255.0)
+    x_u8 = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
+    q2 = np.asarray(quant_vivit_apply(qp, x_u8, cfg, use_flash=False))
     np.testing.assert_allclose(q2, q, atol=1e-6)
-
-
-def test_extractor_precision_int8_mesh_matches_single(tmp_path):
-    """int8 composes with the extraction mesh fan-out: the quantized
-    side table is replicated like the float params, the uint8 chunk
-    batch is sharded over the data axis, and the sharded outputs equal
-    the single-device int8 outputs exactly."""
-    from mmer_tpu.core.mesh import create_mesh
-    from mmer_tpu.preprocess.extract import VideoFeatureExtractor
-
-    mesh = create_mesh()
-    if mesh.size <= 1:
-        pytest.skip("needs a multi-device mesh")
-    cfg = ViViTConfig(num_frames=8, image_size=(32, 32), depth=2, dim=64,
-                      heads=4, dim_head=16, mlp_dim=128,
-                      compute_dtype="float32")
-    path = str(tmp_path / "vivit.msgpack")
-    single = VideoFeatureExtractor(cfg, device_batch=8, use_flash=False,
-                                   params_path=path, precision="int8")
-    sharded = VideoFeatureExtractor(cfg, device_batch=8, use_flash=False,
-                                    params_path=path, precision="int8",
-                                    mesh=mesh)
-
-    rng = np.random.default_rng(6)
-    vid = rng.integers(0, 256, size=(11, 8, 32, 32, 3), dtype=np.uint8)
-    a = single.embed_chunks(vid)
-    b = sharded.embed_chunks(vid)
-    np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)
 
 
 # ---------------------------------------------------------------------------
@@ -193,38 +173,35 @@ def test_quant_w2v2_agrees_with_float_path():
     assert np.all(np.isfinite(got))
 
 
-def test_audio_embedder_precision_int8_routing():
-    from mmer_tpu.models.wav2vec2 import AudioEmbedder
+def test_quant_w2v2_pooled_embedding_agrees_with_embedder():
+    """Quantized transformer + the production masked-mean-pool/L2 tail
+    agrees with the float AudioEmbedder on the same params (the
+    comparison the removed ``precision='int8'`` routing used to make)."""
+    from mmer_tpu.models.wav2vec2 import (AudioEmbedder,
+                                          feat_extract_output_length)
+    from mmer_tpu.models.wav2vec2_quant import (quant_w2v2_apply,
+                                                quantize_w2v2_params)
 
     cfg = _w2v2_tiny()
     emb_f = AudioEmbedder(cfg, use_pallas=False)
-    emb_q = AudioEmbedder(cfg, use_pallas=False, precision="int8",
-                          params=emb_f.params)
 
     rng = np.random.default_rng(12)
-    waves = [rng.normal(size=(3200 + 700 * i,)).astype(np.float32)
-             for i in range(3)]
+    n_samp = 3200
+    waves = [rng.normal(size=(n_samp,)).astype(np.float32)
+             for _ in range(3)]
     f = emb_f.embed_batch(waves)
-    q = emb_q.embed_batch(waves)
+
+    # Same preprocessing the embedder applies: per-utterance z-score.
+    stack = np.stack(waves)
+    norm = ((stack - stack.mean(1, keepdims=True))
+            / np.sqrt(stack.var(1) + 1e-7)[:, None])
+    t = feat_extract_output_length(cfg, n_samp)
+    pad = jnp.zeros((3, t), bool)
+    qp = quantize_w2v2_params(emb_f.params)
+    hidden = quant_w2v2_apply(qp, emb_f.params, jnp.asarray(norm), pad, cfg)
+    emb = np.asarray(hidden).mean(axis=1)
+    q = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
     assert f.shape == q.shape == (3, cfg.hidden_dim)
     cos = np.sum(f * q, axis=1)        # both rows are L2-normalized
     assert np.all(cos > 0.995), cos
-
-
-def test_audio_embedder_int8_mesh_matches_single():
-    from mmer_tpu.core.mesh import create_mesh
-    from mmer_tpu.models.wav2vec2 import AudioEmbedder
-
-    mesh = create_mesh()
-    if mesh.size <= 1:
-        pytest.skip("needs a multi-device mesh")
-    cfg = _w2v2_tiny()
-    single = AudioEmbedder(cfg, use_pallas=False, precision="int8")
-    sharded = AudioEmbedder(cfg, use_pallas=False, precision="int8",
-                            params=single.params, mesh=mesh)
-    rng = np.random.default_rng(13)
-    waves = [rng.normal(size=(3200 + 500 * i,)).astype(np.float32)
-             for i in range(11)]
-    a = single.embed_batch(waves)
-    b = sharded.embed_batch(waves)
-    np.testing.assert_allclose(b, a, atol=2e-5, rtol=2e-5)

@@ -375,14 +375,7 @@ def test_subchunk_stream_matches_one_shot_and_stays_bounded():
     np.testing.assert_array_equal(got, want)
 
 
-def test_engine_int8_vivit_precision(face_video):
-    """``vivit_precision='int8'`` serving route (the Mosaic-free
-    quantized ViViT, models/vivit_quant.py): same response schema and
-    the same detected boxes as the bf16 engine on a real-face video."""
-    eng = InferenceEngine(model_cfg=TINY_FUSION, vivit_cfg=TINY_VIVIT,
-                          vivit_precision="int8")
-    res = eng.infer_video_file(face_video, subchunk_size=4, window_size=2)
-    assert set(res) == {"bounding_box", "inference"}
-    assert len(res["inference"]) == 2
-    for item in res["inference"]:
-        assert item["class"] in ("NEU", "HAP", "SAD", "ANG", "FEA", "DIS")
+# (test_engine_int8_vivit_precision was removed in r4 with the int8
+# serving route: the quantized ViViT measured 0.80× bf16 on chip —
+# artifacts/probes/r3_onchip.json; tests/test_quant.py keeps the quant
+# modules' direct agreement tests.)

@@ -240,3 +240,38 @@ def test_fused_qkv_matches_separate_projections():
     want = np.asarray(plain.apply(params, wave, pad))
     got = np.asarray(fused.apply(params, wave, pad))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_split_pos_conv_matches_grouped():
+    """``split_pos_conv=True`` (the grouped positional conv computed as g
+    ordinary convs, _SplitGroupedConv) reproduces the grouped form on the
+    SAME param tree — identical param names/shapes/init draws, and grouped
+    conv IS g independent convs over channel slices.  The split form exists
+    for the mesh fan-out path, where XLA's SPMD partitioner all-gathers a
+    batch-sharded grouped conv and runs it replicated (measured: 3
+    all-gathers, weak efficiency 0.85 — scripts/probe_audio_fanout_eff.py,
+    VERDICT r3 #8); the split form partitions with zero collectives."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    wave = jnp.asarray(rng.normal(size=(2, 3200)), jnp.float32)
+    t = feat_extract_output_length(TINY, 3200)
+    pad = jnp.zeros((2, t), bool).at[1, t // 2:].set(True)
+
+    grouped = Wav2Vec2Encoder(TINY)
+    split = Wav2Vec2Encoder(TINY, split_pos_conv=True)
+    params = grouped.init({"params": jax.random.PRNGKey(0)}, wave)
+    params2 = split.init({"params": jax.random.PRNGKey(0)}, wave)
+    assert jax.tree_util.tree_structure(params) \
+        == jax.tree_util.tree_structure(params2)
+    # Same init draws too: the split module uses the identical param
+    # path ("pos_conv"/"conv") and shape, so a grouped-trained checkpoint
+    # loads into the split model unchanged.
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["pos_conv"]["conv"]["kernel"]),
+        np.asarray(params2["params"]["pos_conv"]["conv"]["kernel"]))
+
+    want = np.asarray(grouped.apply(params, wave, pad))
+    got = np.asarray(split.apply(params, wave, pad))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
