@@ -339,7 +339,7 @@ def main() -> None:
             pod_clips_s / REF_CLIPS_PER_SEC, 2)
 
     watchdog.cancel()
-    print(json.dumps({
+    result = {
         "metric": "extract_train_clips_per_sec_per_chip",
         "value": round(clips_s, 2),
         "unit": ("clips/s/chip, end-to-end: ViViT+Wav2Vec2 extraction + "
@@ -347,7 +347,18 @@ def main() -> None:
                  "val+test eval"),
         "vs_baseline": round(clips_s / REF_CLIPS_PER_SEC, 2),
         "components": components,
-    }))
+    }
+    print(json.dumps(result))
+    # Single source of truth for the docs' headline numbers: every bench
+    # run persists its result, and tests/test_docs_numbers.py pins the
+    # numbers README/CLAUDE.md cite to this artifact so they cannot drift
+    # silently (VERDICT r3 #7).
+    try:
+        os.makedirs("artifacts/bench", exist_ok=True)
+        with open("artifacts/bench/latest.json", "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

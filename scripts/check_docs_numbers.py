@@ -1,0 +1,98 @@
+"""Docs-vs-bench consistency check (VERDICT r3 #7: one source of truth).
+
+Every ``bench.py`` run persists its JSON result to
+``artifacts/bench/latest.json``.  This checker re-parses the headline
+numbers README.md and CLAUDE.md cite and verifies they match that
+artifact, so the docs cannot go stale silently (r3 shipped a README
+saying 43.9 clips/s while the bench measured 49.23 — a 12% drift this
+would have caught).
+
+Tolerances: throughputs within 5% relative (run-to-run jitter through
+the relay is real; staleness is >10%), speedup multiples within 0.15
+absolute.  Run directly (nonzero exit on mismatch) or via
+tests/test_docs_numbers.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+REL_TOL = 0.05
+MULT_TOL = 0.15
+
+
+def _close_rel(doc: float, bench: float) -> bool:
+    return abs(doc - bench) <= REL_TOL * max(abs(bench), 1e-9)
+
+
+def _close_abs(doc: float, bench: float) -> bool:
+    return abs(doc - bench) <= MULT_TOL
+
+
+def check(repo: str = REPO) -> list:
+    """Returns a list of mismatch strings (empty == consistent)."""
+    path = os.path.join(repo, "artifacts", "bench", "latest.json")
+    with open(path) as f:
+        bench = json.load(f)
+    value = float(bench["value"])
+    vs = float(bench["vs_baseline"])
+    comp = bench.get("components", {})
+    pod = comp.get("projected_pod_clips_per_sec")
+    pod_vs = comp.get("projected_pod_vs_baseline")
+
+    errors = []
+
+    def expect(label, doc_val, bench_val, close):
+        if bench_val is None:
+            return
+        if not close(float(doc_val), float(bench_val)):
+            errors.append(f"{label}: docs say {doc_val}, "
+                          f"bench artifact says {bench_val}")
+
+    readme = open(os.path.join(repo, "README.md")).read()
+    claude = open(os.path.join(repo, "CLAUDE.md")).read()
+
+    # README north-star row: "**49.2 clips/s/chip ≈ 3.8×**"
+    m = re.search(r"\*\*([\d.]+) clips/s/chip ≈ ([\d.]+)×\*\*", readme)
+    if not m:
+        errors.append("README: north-star '**X clips/s/chip ≈ Y×**' "
+                      "pattern not found")
+    else:
+        expect("README north-star clips/s", m.group(1), value, _close_rel)
+        expect("README north-star multiple", m.group(2), vs, _close_abs)
+
+    # CLAUDE.md: "49.23 clips/s/chip" + "pod projection 324.5 clips/s =
+    # 25.01×"
+    m = re.search(r"([\d.]+) clips/s/chip end-to-end", claude)
+    if not m:
+        errors.append("CLAUDE.md: 'X clips/s/chip end-to-end' not found")
+    else:
+        expect("CLAUDE.md north-star clips/s", m.group(1), value,
+               _close_rel)
+    m = re.search(r"pod projection ([\d.]+) clips/s = ([\d.]+)×", claude)
+    if not m:
+        errors.append("CLAUDE.md: 'pod projection X clips/s = Y×' "
+                      "not found")
+    else:
+        expect("CLAUDE.md pod clips/s", m.group(1), pod, _close_rel)
+        expect("CLAUDE.md pod multiple", m.group(2), pod_vs, _close_abs)
+
+    return errors
+
+
+def main() -> int:
+    errors = check()
+    for e in errors:
+        print(f"DOCS-NUMBERS MISMATCH: {e}")
+    if not errors:
+        print("docs numbers consistent with artifacts/bench/latest.json")
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
