@@ -104,21 +104,23 @@ class VideoFeatureExtractor:
                 _embed, key=f"vivit-extract-bf16-"
                 f"{'flash' if use_flash else 'xla'}")
 
-    def embed_chunks(self, chunks, pipeline: bool = True) -> np.ndarray:
+    def embed_chunks(self, chunks, pipeline: bool = False) -> np.ndarray:
         """(N, F, H, W, C) float32 in [0,1] or raw uint8 → (N, 768); pads N
         to the device batch size so every call hits the same compiled
         program.  Accepts a device-resident jnp array (padding then happens
         on device — no host round-trip).
 
-        Multi-block calls run a two-deep pipeline (VERDICT r3 #6): JAX
-        dispatch is async, so block i+1's host-side staging + H2D transfer
-        is enqueued BEFORE block i's result is fetched — the device never
-        idles between blocks, and at most two input blocks (~150 MB at the
-        production shape) are live on device.  The blocking ``np.asarray``
-        on a (bs, 768) output is the only sync point per block.
-        ``pipeline=False`` restores the serial fetch-then-stage loop (the
-        reference's per-chunk GPU loop shape, video_extractor.py:152-156)
-        — kept for the A/B in scripts/probe_extract_pipeline.py."""
+        ``pipeline=True`` double-buffers multi-block calls (VERDICT r3
+        #6): block i+1's host staging + H2D transfer is enqueued BEFORE
+        block i's result is fetched, at most two input blocks live on
+        device.  MEASURED 0.92× (a LOSS) in this environment
+        (scripts/probe_extract_pipeline.py on chip, 96×32-frame chunks:
+        serial 16.4 s vs pipelined 17.8 s — host→device rides a ~27 MB/s
+        relay here, so staging IS the wall-clock and two in-flight
+        transfers contend), hence OFF by default per the measured-wins
+        rule.  On PCIe-attached hardware the overlap is the standard win
+        (reference's serial per-chunk loop, video_extractor.py:152-156,
+        leaves it on the table) — re-measure there before flipping."""
         jnp = self._jnp
         xp = jnp if isinstance(chunks, jnp.ndarray) else np
         n = chunks.shape[0]

@@ -408,6 +408,11 @@ def train_many_seeds(data, splits, model_cfg: ModelConfig,
                 "results": fused_results_rows(final_i),
                 "best_epoch": int(final_i.best_epoch),
                 "best_params": jax.device_get(final_i.best_params),
+                # the tracked selection score at the best epoch (val
+                # loss, or -val acc for v1) — lets callers rank members
+                # across seeds without re-deriving it from the rows
+                # (scripts/{probe_ensemble,seed_sweep}.py).
+                "best_score": float(final_i.best_score),
                 "wall_seconds": elapsed,
             })
     return outs

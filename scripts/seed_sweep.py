@@ -38,6 +38,13 @@ def main() -> None:
                              "per-epoch rows) plus summary.json — the "
                              "committable evidence for the README quality "
                              "table (VERDICT r2 #7)")
+    parser.add_argument("--ensemble_k", default="",
+                        help="comma-separated k values: also score the "
+                             "mean-probability blend of the top-k members "
+                             "ranked by val loss (train/ensemble.py), so "
+                             "one command regenerates the whole README "
+                             "quality table incl. the ensemble row "
+                             "(VERDICT r3 #5)")
     args = parser.parse_args()
 
     import numpy as np
@@ -102,6 +109,27 @@ def main() -> None:
         "val_selected_f1_mean": round(float(np.mean(val_f1)), 4),
         "val_selected_f1_std": round(float(np.std(val_f1)), 4),
     }
+    if args.ensemble_k:
+        from mmer_tpu.train.ensemble import ensemble_eval
+
+        # Members ranked by val loss at their best epoch — the k-member
+        # pick stays test-blind, like each member's own param selection.
+        order = np.argsort([float(o["best_score"]) for o in outs])
+        ranked = [outs[i]["best_params"] for i in order]
+        summary["ensemble"] = {}
+        for k_str in args.ensemble_k.split(","):
+            k = int(k_str)
+            if not 2 <= k <= len(ranked):
+                continue
+            res = ensemble_eval(model_cfg, ranked[:k], data, splits,
+                                "test")
+            row = {"macro_f1": round(res["ensemble_macro_f1"], 4),
+                   "accuracy": round(res["ensemble_accuracy"], 4),
+                   "member_mean_f1": round(
+                       res["member_mean_macro_f1"], 4)}
+            summary["ensemble"][f"k={k}"] = row
+            print(f"ensemble top-{k} by val: macro-F1 {row['macro_f1']} "
+                  f"acc {row['accuracy']}", flush=True)
     if args.out_dir:
         with open(os.path.join(
                 args.out_dir,

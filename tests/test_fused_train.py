@@ -110,6 +110,12 @@ def test_train_many_seeds_matches_individual_runs(tiny_dataset):
                              seeds=[0, 3], verbose=False)
     assert len(multi) == 2
     for out in multi:
+        # best_score: the val-loss tracked at the best epoch — finite and
+        # consistent with the recorded rows (ensemble member ranking in
+        # scripts/{probe_ensemble,seed_sweep}.py depends on it).
+        assert np.isfinite(out["best_score"])
+        assert abs(out["best_score"]
+                   - min(r["val_loss"] for r in out["results"])) < 1e-5
         single = train_model(data, splits, CFG, cfg, batch_size=32,
                              verbose=False, fused=True, seed=out["seed"])
         assert len(out["results"]) == len(single.results)
