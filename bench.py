@@ -354,8 +354,13 @@ def main() -> None:
     # numbers README/CLAUDE.md cite to this artifact so they cannot drift
     # silently (VERDICT r3 #7).
     try:
-        os.makedirs("artifacts/bench", exist_ok=True)
-        with open("artifacts/bench/latest.json", "w") as f:
+        # Anchored at the repo (where tests/test_docs_numbers.py reads),
+        # not the CWD — running bench.py from elsewhere must not strand
+        # the artifact and quietly un-pin the docs.
+        out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "artifacts", "bench")
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "latest.json"), "w") as f:
             json.dump(result, f, indent=1)
     except OSError:
         pass

@@ -119,24 +119,36 @@ def measure_extract_scaling(n_devices: int, reps: int = 3,
         lambda: sharded._apply(sharded.params, sh_chunks), reps)
     # Weak scaling (what bench.py's pod projection actually assumes): each
     # chip keeps the SAME per-chip batch it was benchmarked at and works
-    # through 1/n of the dataset.  On this ONE-core virtual mesh the n
-    # shards of the partitioned program execute sequentially, so its ideal
-    # time is n × (single-device time at the per-device batch); the ratio
-    #     weak_eff = n · t_single(G/n) / t_sharded(G)
+    # through 1/n of the dataset.  The IDEAL sharded time is backend-
+    # dependent: on a virtual mesh whose n "devices" share one physical
+    # core the n shards execute sequentially (ideal = n × t_pd), while on
+    # a real multi-device backend they run concurrently (ideal = t_pd) —
+    # using the wrong ideal on real chips would report weak_eff ≈ n.
+    #     weak_eff = ideal / t_sharded(G)
     # isolates pure partition overhead at the per-chip batch, free of the
-    # small-batch penalty the strong-scaling ratio above also charges.
+    # small-batch penalty the strong-scaling ratio above also charges.  A
+    # raw ratio > 1 means the overhead is below timing noise; the clamped
+    # value (what bench.py consumes) then reads "no measurable overhead",
+    # with the raw value kept alongside for honesty.
     single_pd = VideoFeatureExtractor(vcfg, device_batch=per_device_batch,
                                       use_flash=False)
     dev_pd = jax.device_put(chunks[:per_device_batch])
     t_single_pd = _time_best(
         lambda: single_pd._apply(single_pd.params, dev_pd), reps)
+    seq_shards = jax.default_backend() == "cpu"   # one-core virtual mesh
+    ideal_mult = n_devices if seq_shards else 1.0
+
+    def _weak(t_pd: float, t_sh: float) -> dict:
+        raw = ideal_mult * t_pd / t_sh
+        return {"weak_efficiency": round(min(raw, 1.0), 4),
+                "weak_efficiency_raw": round(raw, 4)}
+
     out["video"] = {"max_abs_err": v_err, "global_batch": G,
                     "t_single_s": round(t_single, 4),
                     "t_sharded_s": round(t_sharded, 4),
                     "efficiency": round(t_single / t_sharded, 4),
                     "t_single_per_device_batch_s": round(t_single_pd, 4),
-                    "weak_efficiency": round(
-                        n_devices * t_single_pd / t_sharded, 4)}
+                    **_weak(t_single_pd, t_sharded)}
 
     # ---- Wav2Vec2 waveform embedding ----------------------------------
     acfg = Wav2Vec2Config(**_W2V2_KW)
@@ -179,8 +191,7 @@ def measure_extract_scaling(n_devices: int, reps: int = 3,
                     "t_sharded_s": round(ta_sharded, 4),
                     "efficiency": round(ta_single / ta_sharded, 4),
                     "t_single_per_device_batch_s": round(ta_single_pd, 4),
-                    "weak_efficiency": round(
-                        n_devices * ta_single_pd / ta_sharded, 4)}
+                    **_weak(ta_single_pd, ta_sharded)}
     return out
 
 

@@ -10,7 +10,10 @@ sweep plus this batched re-evaluation.  Probability averaging (not
 logit averaging) matches how the serving engine exposes scores
 (softmax probs, reference inference.py:493-495).
 
-Run: python scripts/probe_ensemble.py  (on-chip; queued in r3_onchip)
+Measured on chip (artifacts/probes/r3_onchip.json): k=2 blend 0.7648
+test macro-F1 vs 0.7604±0.004 single-model best-epoch mean — the README
+quality-table headline.  Run: python scripts/probe_ensemble.py
+(members val-ranked), or scripts/seed_sweep.py --ensemble_k 2,4,8.
 """
 
 from __future__ import annotations

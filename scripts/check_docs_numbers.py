@@ -7,10 +7,12 @@ artifact, so the docs cannot go stale silently (r3 shipped a README
 saying 43.9 clips/s while the bench measured 49.23 — a 12% drift this
 would have caught).
 
-Tolerances: throughputs within 5% relative (run-to-run jitter through
-the relay is real; staleness is >10%), speedup multiples within 0.15
-absolute.  Run directly (nonzero exit on mismatch) or via
-tests/test_docs_numbers.py.
+Tolerance: 5% relative everywhere (run-to-run jitter through the relay
+is real; staleness is >10%).  Multiples are proportional to the
+throughputs they derive from, so they get the same RELATIVE tolerance —
+an absolute tolerance on a ~25x multiple would be tighter than the
+throughput tolerance that feeds it and fail on pure jitter.  Run
+directly (nonzero exit on mismatch) or via tests/test_docs_numbers.py.
 """
 
 from __future__ import annotations
@@ -23,15 +25,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 REL_TOL = 0.05
-MULT_TOL = 0.15
 
 
 def _close_rel(doc: float, bench: float) -> bool:
     return abs(doc - bench) <= REL_TOL * max(abs(bench), 1e-9)
-
-
-def _close_abs(doc: float, bench: float) -> bool:
-    return abs(doc - bench) <= MULT_TOL
 
 
 def check(repo: str = REPO) -> list:
@@ -49,6 +46,12 @@ def check(repo: str = REPO) -> list:
 
     def expect(label, doc_val, bench_val, close):
         if bench_val is None:
+            # A degraded bench run (e.g. the scaling subprocess failed)
+            # writes an artifact without the pod fields; the docs' pod
+            # numbers would then go unchecked — flag it rather than
+            # silently disabling the pin.
+            errors.append(f"{label}: docs cite {doc_val} but the bench "
+                          "artifact has no counterpart (degraded run?)")
             return
         if not close(float(doc_val), float(bench_val)):
             errors.append(f"{label}: docs say {doc_val}, "
@@ -64,7 +67,7 @@ def check(repo: str = REPO) -> list:
                       "pattern not found")
     else:
         expect("README north-star clips/s", m.group(1), value, _close_rel)
-        expect("README north-star multiple", m.group(2), vs, _close_abs)
+        expect("README north-star multiple", m.group(2), vs, _close_rel)
 
     # CLAUDE.md: "49.23 clips/s/chip" + "pod projection 324.5 clips/s =
     # 25.01×"
@@ -80,7 +83,7 @@ def check(repo: str = REPO) -> list:
                       "not found")
     else:
         expect("CLAUDE.md pod clips/s", m.group(1), pod, _close_rel)
-        expect("CLAUDE.md pod multiple", m.group(2), pod_vs, _close_abs)
+        expect("CLAUDE.md pod multiple", m.group(2), pod_vs, _close_rel)
 
     return errors
 

@@ -89,10 +89,6 @@ def main() -> None:
           f"(strong eff {t_single/t_shard_presh:.3f}, "
           f"weak {n*t_single_pd/t_shard_presh:.3f})")
 
-    lowered = jax.jit(
-        lambda p, w, m: sharded._apply_pool.__wrapped__(p, w, m)
-        if hasattr(sharded._apply_pool, "__wrapped__")
-        else sharded._apply_pool(p, w, m))
     # Compiled HLO of the actual partitioned program:
     compiled = sharded._apply_pool.lower(
         sharded.params, sh_w, sh_m).compile()
@@ -102,7 +98,6 @@ def main() -> None:
         r"all-to-all)\b", hlo)
     from collections import Counter
     print(f"partitioned-HLO collectives: {dict(Counter(colls)) or 'NONE'}")
-    del lowered
 
 
 if __name__ == "__main__":

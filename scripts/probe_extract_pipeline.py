@@ -1,19 +1,19 @@
 """A/B: double-buffered vs serial block loop in VideoFeatureExtractor.
 
-``embed_chunks`` pipelines multi-block calls two deep (VERDICT r3 #6):
-block i+1's host staging + H2D enqueue happens BEFORE block i's result
-is fetched, so the device never idles between blocks.  This probe
-measures what that overlap is worth on the real chip by timing the same
-host-resident uint8 workload through both loop shapes (the serial shape
-is ``embed_chunks(..., pipeline=False)`` — fetch block i, then stage
-block i+1), mirroring the reference's serial per-chunk GPU loop
+``embed_chunks(pipeline=True)`` double-buffers multi-block calls
+(VERDICT r3 #6): block i+1's host staging + H2D enqueue happens BEFORE
+block i's result is fetched.  This probe times the same host-resident
+uint8 workload through both loop shapes; the serial shape
+(``pipeline=False``) mirrors the reference's per-chunk GPU loop
 (/root/reference/video_extractor.py:152-156).
 
-Caveat for THIS environment: host→device goes through the ~27 MB/s axon
-relay, so staging dominates compute and the overlap shows as a large
-win here; on real hardware (PCIe ~10+ GB/s) the expected win is the
-smaller of staging and compute time per block.  Both numbers + the
-implied staging/compute split are printed.
+MEASURED (artifacts/probes/r4_onchip2.json): 0.92x — a LOSS in this
+environment.  Host→device rides the ~27 MB/s axon relay, so staging IS
+the wall-clock and two in-flight ~77 MB blocks contend on the relay
+instead of overlapping.  ``pipeline=False`` is therefore the default; on
+PCIe-attached hardware (~10+ GB/s) the overlap is the standard win with
+expected gain min(staging, compute) per block — re-run this probe there
+before flipping the default.
 """
 
 from __future__ import annotations

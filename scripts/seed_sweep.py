@@ -120,6 +120,9 @@ def main() -> None:
         for k_str in args.ensemble_k.split(","):
             k = int(k_str)
             if not 2 <= k <= len(ranked):
+                print(f"ensemble k={k} SKIPPED (needs 2 <= k <= "
+                      f"{len(ranked)} trained seeds)", flush=True)
+                summary["ensemble"][f"k={k}"] = "skipped"
                 continue
             res = ensemble_eval(model_cfg, ranked[:k], data, splits,
                                 "test")

@@ -88,10 +88,11 @@ def test_measure_extract_scaling_smoke():
 
 
 def test_pipeline_false_matches_pipelined():
-    """embed_chunks' two-deep double buffer (pipeline=True, the default)
-    and the serial fetch-then-stage loop (pipeline=False — the A/B leg in
-    scripts/probe_extract_pipeline.py) are pure loop-shape variants of the
-    same computation and must agree bit-exactly."""
+    """embed_chunks' serial fetch-then-stage loop (pipeline=False, the
+    default — the double buffer measured 0.92x through this host's relay,
+    artifacts/probes/r4_onchip2.json) and the two-deep double buffer
+    (pipeline=True, the PCIe-hardware opt-in) are pure loop-shape
+    variants of the same computation and must agree bit-exactly."""
     single = VideoFeatureExtractor(TINY, device_batch=4, use_flash=False)
     rng = np.random.default_rng(3)
     chunks = (rng.random((11, 8, 32, 32, 3)) * 255).astype(np.uint8)
