@@ -99,3 +99,41 @@ def test_pipeline_false_matches_pipelined():
     a = single.embed_chunks(chunks, pipeline=True)
     b = single.embed_chunks(chunks, pipeline=False)
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_extraction_programs_have_no_collectives():
+    """The pod story rests on the extraction fan-out being embarrassingly
+    parallel — replicated params, batch-sharded IO, ZERO collectives in
+    the partitioned HLO.  This held for ViViT from the start but NOT for
+    Wav2Vec2: XLA's SPMD partitioner cannot batch-partition a
+    feature_group_count>1 conv and silently all-gathered the batch to run
+    the grouped positional conv replicated (3 all-gathers, 0.85-0.88
+    efficiency — VERDICT r3 #8).  _SplitGroupedConv fixed it; this pins
+    the collective-free property for BOTH extractors' partitioned HLO so
+    a future partitioner/model change cannot silently reintroduce one."""
+    import re
+
+    from mmer_tpu.config import Wav2Vec2Config
+    from mmer_tpu.models.wav2vec2 import (AudioEmbedder,
+                                          feat_extract_output_length)
+
+    mesh = create_mesh(MeshConfig())
+    coll_re = re.compile(r"\b(all-reduce|all-gather|reduce-scatter|"
+                         r"collective-permute|all-to-all)\b")
+
+    vex = VideoFeatureExtractor(TINY, device_batch=8, use_flash=False,
+                                mesh=mesh)
+    import jax.numpy as jnp
+    chunks = jnp.zeros((8, 8, 32, 32, 3), jnp.uint8)
+    hlo_v = vex._apply.lower(vex.params, chunks).compile().as_text()
+    assert not coll_re.search(hlo_v), coll_re.findall(hlo_v)
+
+    cfg = Wav2Vec2Config(**AUDIO_TINY_KW)
+    aem = AudioEmbedder(cfg, mesh=mesh)
+    n = aem._bucket_len(3200)
+    t = feat_extract_output_length(cfg, n)
+    waves = jnp.zeros((8, n), jnp.float32)
+    masks = jnp.zeros((8, t), bool)
+    hlo_a = aem._apply_pool.lower(aem.params, waves, masks
+                                  ).compile().as_text()
+    assert not coll_re.search(hlo_a), coll_re.findall(hlo_a)
