@@ -16,6 +16,14 @@ All blends are mean-probability (train/ensemble.py), members val-ranked
 — test-blind selection throughout.
 
 Run: python scripts/probe_diverse_ensemble.py [--seeds 4] [--epochs 400]
+
+MEASURED (v5e-1, artifacts/probes/r4_diverse_ens.log): pooled val-ranked
+top-8-of-16 = 0.7677 test macro-F1 — the best test-blind number, +0.5 F1
+over the same-recipe k=8 blend (0.7627).  The mechanism is pool size +
+take-the-top-half, NOT diversity: cross-recipe best-of-each k=4 scores
+0.7593 and pooled top-4 (0.7573) is worse than same-recipe k=4 blends
+(winning 0.7631, wd3e-3 0.7663) — val-loss ranking across recipes is
+noisy at small k.
 """
 
 from __future__ import annotations
