@@ -329,6 +329,12 @@ def main() -> None:
             "n_devices": POD_CHIPS,
             "video_weak_efficiency": eff_v,
             "audio_weak_efficiency": eff_a,
+            # README's scaling narrative points readers at the raw
+            # (unclamped) ratios — persist them so the citation resolves.
+            "video_weak_efficiency_raw": scaling["video"].get(
+                "weak_efficiency_raw", eff_v),
+            "audio_weak_efficiency_raw": scaling["audio"].get(
+                "weak_efficiency_raw", eff_a),
             "video_strong_efficiency": scaling["video"]["efficiency"],
             "audio_strong_efficiency": scaling["audio"]["efficiency"],
             "video_max_abs_err": scaling["video"]["max_abs_err"],
@@ -362,8 +368,12 @@ def main() -> None:
         os.makedirs(out_dir, exist_ok=True)
         with open(os.path.join(out_dir, "latest.json"), "w") as f:
             json.dump(result, f, indent=1)
-    except OSError:
-        pass
+    except OSError as e:
+        # A failed write leaving a STALE latest.json is the silent-drift
+        # failure this artifact exists to prevent — say so loudly (stderr;
+        # stdout must stay one JSON line for the driver).
+        _log(f"WARNING: could not persist artifacts/bench/latest.json "
+             f"({e}) — the committed artifact is now stale vs this run")
 
 
 if __name__ == "__main__":

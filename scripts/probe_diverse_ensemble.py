@@ -107,12 +107,14 @@ def main() -> None:
     print(f"cross-recipe best-of-each k=4: "
           f"{res['ensemble_macro_f1']:.4f}", flush=True)
 
-    # (c) pooled val-ranked top-k over all 4N members.
+    # (c) pooled val-ranked top-k over all 4N members.  k scales with the
+    # pool: the 16-member run measured top-half (k=8, 0.7677) > sharp
+    # top-4 (0.7573), so larger pools probe top-half and full-pool too.
     pooled = sorted(((s, p) for tag, ms in per_recipe.items()
                      for s, p in ms), key=lambda t: t[0])
-    for k in (4, 8):
-        if k > len(pooled):
-            break
+    for k in sorted({4, 8, len(pooled) // 2, len(pooled)}):
+        if k > len(pooled) or k < 1:
+            continue
         res = ensemble_eval(model_cfg, [p for _, p in pooled[:k]],
                             data, splits, "test")
         summary[f"pooled:top{k}"] = round(res["ensemble_macro_f1"], 4)
