@@ -30,6 +30,96 @@ from mmer_tpu.train.metrics import (accuracy_from_confusion,
                                     confusion_matrix, prf_from_confusion)
 
 
+def member_probs(model_cfg: ModelConfig, params_list: Sequence[dict],
+                 data, splits, split: str) -> np.ndarray:
+    """Each member's softmax probs on one split, as a host ``(M, N, C)``
+    array.  One jitted forward per member; everything downstream
+    (ranking, blending, greedy selection) is then pure numpy."""
+    model = MultimodalEmotionModel(model_cfg)
+    idx = {"train": splits.train, "val": splits.val,
+           "test": splits.test}[split]
+    v = jnp.asarray(data.video[idx])
+    a = jnp.asarray(data.audio[idx])
+    m = jnp.asarray(data.pad_mask[idx])
+
+    @jax.jit
+    def probs_of(p):
+        return model.apply({"params": p}, v, a, m)[0]
+
+    return np.stack([np.asarray(probs_of(p)) for p in params_list])
+
+
+def _macro_f1_np(labels: np.ndarray, preds: np.ndarray,
+                 n_cls: int) -> float:
+    cm = np.zeros((n_cls, n_cls), np.int64)
+    np.add.at(cm, (labels, preds), 1)
+    return prf_from_confusion(cm)["macro_f1"]
+
+
+def greedy_select(val_probs: np.ndarray, val_labels: np.ndarray,
+                  k_max: int, replace: bool = False) -> Dict:
+    """Greedy forward ensemble selection (Caruana et al. 2004) on a
+    selection split — test-blind when ``val_probs`` is the val split.
+
+    Starting from the empty ensemble, each step adds the member whose
+    inclusion maximizes the BLEND's macro-F1 on the selection split
+    (ties break toward the lowest member index, so the result is
+    deterministic).  ``replace=True`` allows re-picking a member
+    (implicit integer weighting).  Returns the pick order, the val-F1
+    path, and the prefix of picks at the path's maximum (``selected``)
+    — choosing the stopping k by selection-split F1 stays test-blind.
+
+    Contrast with the val-loss top-k rank used by ``probe_ensemble``:
+    rank scores members INDIVIDUALLY; greedy scores the blend, so it
+    can keep a mediocre-alone but complementary member.
+    """
+    m, _, n_cls = val_probs.shape
+    if m < 1 or k_max < 1:
+        raise ValueError(f"need ≥1 member and k_max ≥ 1, got m={m}, "
+                         f"k_max={k_max}")
+    val_labels = np.asarray(val_labels)
+    order: List[int] = []
+    path: List[float] = []
+    cur = np.zeros_like(val_probs[0])
+    avail = set(range(m))
+    for _ in range(min(k_max, m) if not replace else k_max):
+        cands = sorted(avail) if not replace else range(m)
+        best_i, best_f1 = -1, -1.0
+        for i in cands:
+            f1 = _macro_f1_np(
+                val_labels, np.argmax(cur + val_probs[i], axis=1), n_cls)
+            if f1 > best_f1:
+                best_i, best_f1 = i, f1
+        order.append(best_i)
+        path.append(round(best_f1, 6))
+        cur = cur + val_probs[best_i]
+        if not replace:
+            avail.remove(best_i)
+    k_best = int(np.argmax(path)) + 1
+    return {"order": order, "val_f1_path": path,
+            "k_best": k_best, "selected": order[:k_best]}
+
+
+def greedy_ensemble_eval(model_cfg: ModelConfig,
+                         params_list: Sequence[dict], data, splits,
+                         k_max: int, replace: bool = False) -> Dict:
+    """Greedy-select members on the VAL split, score the blend on TEST.
+
+    The only device work is one forward per member per split; selection
+    itself is host numpy over the cached ``(M, N, C)`` probs.
+    """
+    val_p = member_probs(model_cfg, params_list, data, splits, "val")
+    test_p = member_probs(model_cfg, params_list, data, splits, "test")
+    sel = greedy_select(val_p, data.labels[splits.val], k_max,
+                        replace=replace)
+    n_cls = val_p.shape[-1]
+    blend = test_p[sel["selected"]].mean(axis=0)
+    test_f1 = _macro_f1_np(np.asarray(data.labels[splits.test]),
+                           np.argmax(blend, axis=1), n_cls)
+    return {**sel, "test_macro_f1": round(float(test_f1), 6),
+            "n_pool": len(params_list)}
+
+
 def ensemble_eval(model_cfg: ModelConfig, params_list: Sequence[dict],
                   data, splits, split: str = "test") -> Dict[str, float]:
     """Mean-probability ensemble of ``params_list`` on one split.

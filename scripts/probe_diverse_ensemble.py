@@ -46,6 +46,10 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=400)
     parser.add_argument("--seeds_per_call", type=int, default=4)
     parser.add_argument("--epochs_per_call", type=int, default=100)
+    parser.add_argument("--greedy", action="store_true",
+                        help="also run Caruana-style greedy forward "
+                             "selection (val-blend F1) over the pooled "
+                             "members, vs the val-loss top-k rank")
     args = parser.parse_args()
 
     import numpy as np
@@ -120,6 +124,25 @@ def main() -> None:
         summary[f"pooled:top{k}"] = round(res["ensemble_macro_f1"], 4)
         print(f"pooled val-ranked top-{k}: "
               f"{res['ensemble_macro_f1']:.4f}", flush=True)
+
+    # (d) greedy forward selection on the val blend (train/ensemble.py):
+    # rank scores members individually; greedy scores the BLEND, so it
+    # can keep a weak-alone but complementary member.  Pool is passed in
+    # val-ranked order so greedy's lowest-index tie-break prefers
+    # better-val members.
+    if args.greedy:
+        from mmer_tpu.train.ensemble import greedy_ensemble_eval
+        pool_params = [p for _, p in pooled]
+        for replace in (False, True):
+            res = greedy_ensemble_eval(model_cfg, pool_params, data,
+                                       splits, k_max=min(16, len(pooled)),
+                                       replace=replace)
+            tag = "greedy+rep" if replace else "greedy"
+            summary[f"{tag}:k{res['k_best']}"] = res["test_macro_f1"]
+            print(f"{tag}: k_best={res['k_best']} "
+                  f"val-blend {max(res['val_f1_path']):.4f} "
+                  f"test {res['test_macro_f1']:.4f} "
+                  f"order {res['order']}", flush=True)
 
     print(json.dumps(summary))
 
