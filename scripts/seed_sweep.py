@@ -45,6 +45,10 @@ def main() -> None:
                              "one command regenerates the whole README "
                              "quality table incl. the ensemble row "
                              "(VERDICT r3 #5)")
+    parser.add_argument("--ensemble_greedy", action="store_true",
+                        help="also score the greedy (val-blend F1) "
+                             "member selection over all seeds "
+                             "(train/ensemble.py greedy_ensemble_eval)")
     args = parser.parse_args()
 
     import numpy as np
@@ -133,6 +137,20 @@ def main() -> None:
             summary["ensemble"][f"k={k}"] = row
             print(f"ensemble top-{k} by val: macro-F1 {row['macro_f1']} "
                   f"acc {row['accuracy']}", flush=True)
+    if args.ensemble_greedy:
+        from mmer_tpu.train.ensemble import greedy_ensemble_eval
+
+        order = np.argsort([float(o["best_score"]) for o in outs])
+        ranked = [outs[i]["best_params"] for i in order]
+        res = greedy_ensemble_eval(model_cfg, ranked, data, splits,
+                                   k_max=len(ranked))
+        summary["ensemble_greedy"] = {
+            "k_best": res["k_best"],
+            "macro_f1": round(res["test_macro_f1"], 4),
+            "val_f1_path": res["val_f1_path"]}
+        print(f"ensemble greedy (val-blend selection): k_best "
+              f"{res['k_best']} test macro-F1 {res['test_macro_f1']:.4f}",
+              flush=True)
     if args.out_dir:
         with open(os.path.join(
                 args.out_dir,
