@@ -10,10 +10,24 @@ sweep plus this batched re-evaluation.  Probability averaging (not
 logit averaging) matches how the serving engine exposes scores
 (softmax probs, reference inference.py:493-495).
 
-Measured on chip (artifacts/probes/r3_onchip.json): k=2 blend 0.7648
-test macro-F1 vs 0.7604±0.004 single-model best-epoch mean — the README
-quality-table headline.  Run: python scripts/probe_ensemble.py
-(members val-ranked), or scripts/seed_sweep.py --ensemble_k 2,4,8.
+Measured on chip: val-ranked top-4-of-8 blend 0.7640 test macro-F1 vs
+0.7604±0.004 single-model best-epoch mean (artifacts/probes/
+r4_ensemble.log); recipe-diverse pooled top-8-of-16 0.7677
+(r4_diverse_ens.log).  Two member-selection schemes ship:
+
+- val-loss top-k rank (``ensemble_eval`` over a ranked prefix) — the
+  quality-table rows;
+- greedy forward selection on the val BLEND's macro-F1
+  (``greedy_select`` / ``greedy_ensemble_eval``, Caruana et al. 2004).
+  Measured on the same 32-member pool (r4_greedy_ens.log): greedy with
+  replacement picks k_best=10 → 0.7674 test, beating val-loss top-16
+  (0.7647) on-pool; without replacement it stops at k=4 (0.7642).  All
+  selection schemes land in the same 0.760–0.768 band — selection
+  refinement is worth ≈+0.3 F1 at most over rank-and-average.
+
+Run: python scripts/probe_ensemble.py (val-ranked),
+scripts/probe_diverse_ensemble.py --greedy (rank vs greedy A/B), or
+scripts/seed_sweep.py --ensemble_k 2,4,8 --ensemble_greedy.
 """
 
 from __future__ import annotations

@@ -24,6 +24,12 @@ take-the-top-half, NOT diversity: cross-recipe best-of-each k=4 scores
 0.7593 and pooled top-4 (0.7573) is worse than same-recipe k=4 blends
 (winning 0.7631, wd3e-3 0.7663) — val-loss ranking across recipes is
 noisy at small k.
+
+32-member follow-up (--seeds 8, r4_diverse_ens32.log): no further gain
+(top-16-of-32 0.7647) — ≥8-member blends land in a 0.760–0.768 band.
+--greedy A/B (r4_greedy_ens.log): greedy+replacement is the best
+on-pool selector (k_best=10, 0.7674 vs top-16's 0.7647) but stays
+in-band; no-replacement overfits the val split (k=4, 0.7642).
 """
 
 from __future__ import annotations
