@@ -104,6 +104,14 @@ class TrainConfig:
     # with prob rate/2 zero all video tokens, per sample per step (classic
     # multimodal robustness regularizer).  0.0 = off.  Fused trainer only.
     modality_dropout: float = 0.0
+    # Opt-in ensemble distillation (Hinton et al. 2015): blend the hard
+    # loss with a temperature-scaled soft cross-entropy to teacher
+    # probabilities supplied as data["soft_targets"] (N, C) — typically
+    # an ensemble blend's train-split probs (train/distill.py).
+    # loss = (1-a)*hard + a*T^2*CE(q_T, logits/T).  0.0 = off = exact
+    # reference behavior.  Fused trainer only.
+    distill_alpha: float = 0.0
+    distill_temp: float = 1.0
     # Best-model selection: "val_loss" (v2, train2.py:617-620) or
     # "val_acc" (v1, train.py:334-338).
     best_metric: str = "val_loss"

@@ -43,6 +43,34 @@ def weighted_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray,
     return jnp.sum(w * ce) / jnp.maximum(jnp.sum(w), 1e-12)
 
 
+def soft_cross_entropy(logits: jnp.ndarray, target_probs: jnp.ndarray,
+                       temperature: float = 1.0,
+                       sample_weight: Optional[jnp.ndarray] = None
+                       ) -> jnp.ndarray:
+    """Distillation loss: cross-entropy to a soft target distribution.
+
+    ``-sum_c q_T[c] * log_softmax(logits / T)[c]``, scaled by ``T**2``
+    (Hinton et al. 2015 — keeps the gradient magnitude comparable to the
+    hard loss as T varies) and averaged over ``sample_weight``-real rows.
+    The teacher arrives as *probabilities* (the only thing an ensemble
+    blend exposes, train/ensemble.py), so temperature sharpening recovers
+    pseudo-logits via ``q_T = softmax(log(q) / T)`` — exact when the
+    teacher itself is a softmax, a monotone reweighting when it is a
+    probability mean.  No reference counterpart (the reference never
+    distills); used by the fused trainer's ``distill_alpha`` path.
+    """
+    t = float(temperature)
+    q = target_probs.astype(jnp.float32)
+    if t != 1.0:
+        q = jax.nn.softmax(jnp.log(jnp.maximum(q, 1e-12)) / t, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32) / t, axis=-1)
+    per = -jnp.sum(q * logp, axis=-1) * (t * t)
+    if sample_weight is None:
+        return jnp.mean(per)
+    return jnp.sum(per * sample_weight) / jnp.maximum(
+        jnp.sum(sample_weight), 1e-12)
+
+
 def focal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                gamma: float = 2.0,
                alpha: Optional[jnp.ndarray] = None,

@@ -66,6 +66,16 @@ def main(argv=None):
     p.add_argument("--modality_dropout", type=float, default=0.0,
                    help="per-sample probability of zeroing one modality "
                         "(0 = off, reference behavior; requires --fused)")
+    p.add_argument("--distill_from", default=None, metavar="CKPT[,CKPT...]",
+                   help="comma-separated fusion .msgpack checkpoints: "
+                        "mean-probability blend them as the teacher and "
+                        "train this run as its distilled student "
+                        "(requires --fused; see train/distill.py)")
+    p.add_argument("--distill_alpha", type=float, default=0.5,
+                   help="soft-loss weight when --distill_from is given: "
+                        "loss = (1-a)*hard + a*T^2*soft")
+    p.add_argument("--distill_temp", type=float, default=1.0,
+                   help="distillation temperature T")
     p.add_argument("--raw_videos", default=None, metavar="DIR",
                    help="RAW face-crop videos: extract ViViT features on "
                         "device straight into HBM and train, skipping the "
@@ -104,7 +114,26 @@ def main(argv=None):
         ema_decay=args.ema_decay,
         mixup_alpha=args.mixup_alpha,
         modality_dropout=args.modality_dropout,
+        distill_alpha=args.distill_alpha if args.distill_from else 0.0,
+        distill_temp=args.distill_temp,
         best_metric=args.best_metric)
+
+    soft_targets = None
+    if args.distill_from:
+        from mmer_tpu.models.fusion import MultimodalEmotionModel
+        from mmer_tpu.train.checkpoint import load_params_msgpack
+        from mmer_tpu.train.distill import teacher_soft_targets
+        import jax
+
+        model = MultimodalEmotionModel(model_cfg)
+        init = model.init({"params": jax.random.PRNGKey(0)},
+                          data.video[:2], data.audio[:2],
+                          data.pad_mask[:2])["params"]
+        teachers = [load_params_msgpack(pth.strip(), init)
+                    for pth in args.distill_from.split(",") if pth.strip()]
+        print(f"Distilling from {len(teachers)} teacher checkpoint(s), "
+              f"alpha={args.distill_alpha} T={args.distill_temp}")
+        soft_targets = teacher_soft_targets(model_cfg, teachers, data)
 
     from mmer_tpu.utils.profiling import trace
 
@@ -112,7 +141,7 @@ def main(argv=None):
         out = train_model(data, splits, model_cfg, train_cfg,
                           batch_size=args.batch_size, mesh_cfg=MeshConfig(),
                           seed=args.seed, resume_dir=args.resume_dir,
-                          fused=args.fused)
+                          fused=args.fused, soft_targets=soft_targets)
 
     if args.interpret:
         from mmer_tpu.interpret import interpret_test_set

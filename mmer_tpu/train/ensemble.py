@@ -134,6 +134,19 @@ def greedy_ensemble_eval(model_cfg: ModelConfig,
             "n_pool": len(params_list)}
 
 
+def soup_params(params_list: Sequence[dict]) -> dict:
+    """Uniform model soup (Wortsman et al. 2022): element-wise mean of
+    the member parameter trees.  One model at 1/M serving cost IF the
+    members are linearly mode-connected — independently-seeded runs
+    usually are NOT (different random inits land in different basins),
+    so this ships as a measured control next to distillation
+    (scripts/probe_distill.py), not as a recommended path."""
+    if not params_list:
+        raise ValueError("need at least one member to soup")
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.mean(jnp.stack(xs), axis=0), *params_list)
+
+
 def ensemble_eval(model_cfg: ModelConfig, params_list: Sequence[dict],
                   data, splits, split: str = "test") -> Dict[str, float]:
     """Mean-probability ensemble of ``params_list`` on one split.

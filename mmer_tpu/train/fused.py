@@ -34,6 +34,7 @@ import optax
 
 from mmer_tpu.config import ModelConfig, TrainConfig
 from mmer_tpu.models.fusion import MultimodalEmotionModel
+from mmer_tpu.ops.losses import soft_cross_entropy
 from mmer_tpu.train.loop import _loss_fn, _pad_batches
 from mmer_tpu.train.metrics import confusion_matrix
 
@@ -93,6 +94,12 @@ def build_fused_train(model: MultimodalEmotionModel,
     # the step's dropout key only when enabled).
     mixup_alpha = train_cfg.mixup_alpha
     md_rate = train_cfg.modality_dropout
+    # Opt-in ensemble distillation: data["soft_targets"] (N, C) teacher
+    # probs enter the loss as a temperature-scaled soft CE blended at
+    # distill_alpha (ops/losses.py:soft_cross_entropy).  Gated at trace
+    # time so the alpha=0 step (and its RNG stream) stays bit-identical.
+    distill_alpha = train_cfg.distill_alpha
+    distill_temp = train_cfg.distill_temp
 
     def gather(arr, idx):
         out = jnp.take(arr, idx, axis=0)
@@ -117,6 +124,8 @@ def build_fused_train(model: MultimodalEmotionModel,
             audio = gather(data["audio"], safe)
             mask = gather(data["pad_mask"], safe)
             labels = gather(data["labels"], safe)
+            if distill_alpha > 0.0:
+                soft = gather(data["soft_targets"], safe)
             dropout_key = jax.random.fold_in(epoch_key, step_i)
 
             if md_rate > 0.0:
@@ -150,6 +159,10 @@ def build_fused_train(model: MultimodalEmotionModel,
                 # padding is zeros, which mixes to lam*x harmlessly).
                 mask = jnp.logical_and(mask, jnp.take(mask, j, 0))
                 labels_b = jnp.take(labels, j, 0)
+                if distill_alpha > 0.0:
+                    # Soft CE is linear in the target distribution, so
+                    # mixing the teacher probs == mixing the soft losses.
+                    soft = lam * soft + (1.0 - lam) * jnp.take(soft, j, 0)
 
             def loss_of(p):
                 _, logits, _ = model.apply(
@@ -160,6 +173,9 @@ def build_fused_train(model: MultimodalEmotionModel,
                     loss = (lam * loss
                             + (1.0 - lam)
                             * loss_fn(logits, labels_b, class_weights, sw))
+                if distill_alpha > 0.0:
+                    kd = soft_cross_entropy(logits, soft, distill_temp, sw)
+                    loss = (1.0 - distill_alpha) * loss + distill_alpha * kd
                 return loss
 
             loss, grads = jax.value_and_grad(loss_of)(params)
@@ -314,11 +330,32 @@ def build_fused_train(model: MultimodalEmotionModel,
     return jax.jit(run, donate_argnums=(0, 1))
 
 
+def attach_soft_targets(dev_data: Dict[str, jax.Array],
+                        train_cfg: TrainConfig, soft_targets) -> None:
+    """Validate and insert ensemble-distillation teacher probs (N, C),
+    row-aligned with the dataset, into a trainer's device-data dict —
+    required exactly when ``train_cfg.distill_alpha > 0``
+    (train/distill.py supplies them)."""
+    if (soft_targets is not None) != (train_cfg.distill_alpha > 0.0):
+        raise ValueError(
+            "soft_targets must be supplied exactly when distill_alpha > 0 "
+            f"(got soft_targets="
+            f"{'set' if soft_targets is not None else 'None'}, "
+            f"distill_alpha={train_cfg.distill_alpha})")
+    if soft_targets is not None:
+        n = dev_data["labels"].shape[0]
+        if soft_targets.shape[0] != n:
+            raise ValueError(f"soft_targets rows {soft_targets.shape[0]} "
+                             f"!= dataset rows {n}")
+        dev_data["soft_targets"] = jnp.asarray(soft_targets, jnp.float32)
+
+
 def train_many_seeds(data, splits, model_cfg: ModelConfig,
                      train_cfg: TrainConfig, batch_size: int,
                      seeds, seeds_per_call: int = 4,
                      epochs_per_call: int = 100,
-                     verbose: bool = True) -> list:
+                     verbose: bool = True,
+                     soft_targets=None) -> list:
     """Seed-parallel fused training: ``vmap`` the whole-run while_loop
     over a leading seed axis, so an N-seed statistical sweep (the
     reference runs its 16-run sweep one process at a time) shares every
@@ -352,6 +389,7 @@ def train_many_seeds(data, splits, model_cfg: ModelConfig,
         "pad_mask": jnp.asarray(data.pad_mask),
         "labels": jnp.asarray(data.labels),
     }
+    attach_soft_targets(dev_data, train_cfg, soft_targets)
     class_weights = jnp.asarray(splits.class_weights)
 
     def init_one(seed_key):

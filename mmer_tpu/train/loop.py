@@ -332,11 +332,13 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
                        batch_size: int,
                        mesh_cfg: Optional[MeshConfig] = None,
                        seed: int = 0,
-                       verbose: bool = True) -> "TrainOutput":
+                       verbose: bool = True,
+                       soft_targets=None) -> "TrainOutput":
     """Whole-run-on-device training (see train/fused.py), dp(+tp)-sharded
     over the ``mesh_cfg`` mesh when more than one device is present."""
     from mmer_tpu.core.mesh import replicate
-    from mmer_tpu.train.fused import build_fused_train, fused_results_rows
+    from mmer_tpu.train.fused import (attach_soft_targets,
+                                      build_fused_train, fused_results_rows)
 
     if model_cfg.norm == "batchnorm":
         raise ValueError("fused mode does not support batchnorm models; "
@@ -355,6 +357,7 @@ def _train_model_fused(data: DatasetArrays, splits: DataSplits,
         "pad_mask": jnp.asarray(data.pad_mask),
         "labels": jnp.asarray(data.labels),
     }
+    attach_soft_targets(dev_data, train_cfg, soft_targets)
     class_weights = jnp.asarray(splits.class_weights)
     rng = jax.random.PRNGKey(seed)
     rng, init_key = jax.random.split(rng)
@@ -455,7 +458,8 @@ def train_model(data: DatasetArrays, splits: DataSplits,
                 seed: int = 0,
                 verbose: bool = True,
                 resume_dir: Optional[str] = None,
-                fused: bool = False) -> TrainOutput:
+                fused: bool = False,
+                soft_targets=None) -> TrainOutput:
     """Full training run with reference-equivalent control flow and the
     reference's JSON results schema (train2.py:748-764).
 
@@ -468,12 +472,16 @@ def train_model(data: DatasetArrays, splits: DataSplits,
     if fused:
         return _train_model_fused(data, splits, model_cfg, train_cfg,
                                   batch_size, mesh_cfg=mesh_cfg, seed=seed,
-                                  verbose=verbose)
+                                  verbose=verbose,
+                                  soft_targets=soft_targets)
     if train_cfg.ema_decay > 0.0:
         raise ValueError("ema_decay is implemented in the fused trainer "
                          "only — pass fused=True / --fused")
     if train_cfg.mixup_alpha > 0.0 or train_cfg.modality_dropout > 0.0:
         raise ValueError("mixup/modality dropout are implemented in the "
+                         "fused trainer only — pass fused=True / --fused")
+    if train_cfg.distill_alpha > 0.0:
+        raise ValueError("ensemble distillation is implemented in the "
                          "fused trainer only — pass fused=True / --fused")
     mesh = create_mesh(mesh_cfg)
     model = MultimodalEmotionModel(model_cfg)

@@ -1,0 +1,152 @@
+"""Ensemble distillation: can ONE student model keep the ensemble band?
+
+The quality ladder tops out with ≥8-member mean-probability blends in a
+0.760–0.768 test macro-F1 band (README "Beating the reference's
+headline"), but an ensemble costs M forwards at serving.  This probe
+trains the measured-best teacher (pooled val-ranked top-8 of 4 tied
+recipes × 4 seeds, the 0.7677 configuration of r4_diverse_ens.log),
+then distills it into single students (train/distill.py + fused-trainer
+``distill_alpha`` path) over a small (alpha, T) grid × seeds:
+
+  student loss = (1-a)*hard_CE + a*T^2*softCE(teacher_probs_T)
+
+Reported per config: best-epoch test F1 mean±std (the table's
+methodology) AND val-selected F1 (deployment-honest), vs the plain
+single-model baseline (0.7604±0.004 / 0.7494±0.007, 8 seeds).
+
+Controls:
+  - uniform model soup of the 4 same-recipe members
+    (train/ensemble.py:soup_params) — expected to FAIL (independent
+    inits are not linearly mode-connected); measured, not assumed;
+  - alpha=0 students = the baseline recipe (sanity anchor).
+
+Run (one TPU process at a time!):
+  PYTHONPATH=/root/repo:$PYTHONPATH python scripts/probe_distill.py \
+      2>&1 | tee artifacts/probes/r4_distill.log
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import argparse
+
+    from mmer_tpu.core.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--pool_seeds", type=int, default=4)
+    parser.add_argument("--student_seeds", type=int, default=4)
+    parser.add_argument("--epochs", type=int, default=400)
+    parser.add_argument("--seeds_per_call", type=int, default=4)
+    parser.add_argument("--epochs_per_call", type=int, default=100)
+    parser.add_argument("--teacher_k", type=int, default=8)
+    parser.add_argument("--grid", default="0.5:1,0.5:2,1.0:2,0.8:2",
+                        help="comma list of alpha:temperature students")
+    parser.add_argument("--out", default="artifacts/probes/r4_distill.json")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from mmer_tpu.config import DataConfig, ModelConfig, TrainConfig
+    from mmer_tpu.data.pipeline import load_dataset
+    from mmer_tpu.train.distill import teacher_soft_targets
+    from mmer_tpu.train.ensemble import ensemble_eval, soup_params
+    from mmer_tpu.train.fused import train_many_seeds
+
+    data, splits = load_dataset(DataConfig())
+    base_m = dict(max_seq_len=data.max_chunks + 1,
+                  fusion_dropout=0.2, classifier_dropout=0.2)
+    base_t = dict(num_epochs=args.epochs, lr=1e-5, weight_decay=5e-3,
+                  label_smoothing=0.1, save_checkpoints=False,
+                  output_dir="/tmp/distill_probe")
+    recipes = [
+        ("winning", {}, {}),
+        ("ls0.15", {}, {"label_smoothing": 0.15}),
+        ("wd3e-3", {}, {"weight_decay": 3e-3}),
+        ("drop0.25", {"fusion_dropout": 0.25, "classifier_dropout": 0.25},
+         {}),
+    ]
+    model_cfg = ModelConfig(**base_m)
+    summary = {}
+
+    def stats(outs):
+        """(best-epoch F1 mean/std, val-selected F1 mean/std)."""
+        be, vs = [], []
+        for o in outs:
+            rows = o["results"]
+            be.append(max(r["test_macro_f1"] for r in rows))
+            vs.append(rows[o["best_epoch"] - 1]["test_macro_f1"])
+        return (float(np.mean(be)), float(np.std(be)),
+                float(np.mean(vs)), float(np.std(vs)))
+
+    # ---- stage 1: the teacher pool (the 0.7677 configuration) ----------
+    pooled = []              # (best_score, best_params) across all recipes
+    winning_members = None   # same-recipe members for the soup control
+    for tag, m_over, t_over in recipes:
+        mc = ModelConfig(**{**base_m, **m_over})
+        tc = TrainConfig(**{**base_t, **t_over})
+        outs = train_many_seeds(data, splits, mc, tc, batch_size=64,
+                                seeds=list(range(args.pool_seeds)),
+                                seeds_per_call=args.seeds_per_call,
+                                epochs_per_call=args.epochs_per_call,
+                                verbose=False)
+        bm, bs, vm, vs = stats(outs)
+        print(f"pool {tag:10s} best-epoch {bm:.4f}±{bs:.4f} "
+              f"val-sel {vm:.4f}±{vs:.4f}", flush=True)
+        pooled.extend((o["best_score"], o["best_params"]) for o in outs)
+        if tag == "winning":
+            winning_members = [o["best_params"] for o in outs]
+
+    pooled.sort(key=lambda t: t[0])
+    teachers = [p for _, p in pooled[:args.teacher_k]]
+    t_res = ensemble_eval(model_cfg, teachers, data, splits, "test")
+    summary["teacher_test_f1"] = round(t_res["ensemble_macro_f1"], 4)
+    print(f"teacher (pooled top-{args.teacher_k} of {len(pooled)}): "
+          f"test F1 {t_res['ensemble_macro_f1']:.4f}", flush=True)
+
+    # ---- soup control ---------------------------------------------------
+    soup = soup_params(winning_members)
+    s_res = ensemble_eval(model_cfg, [soup], data, splits, "test")
+    summary["soup_same_recipe_k4"] = round(s_res["ensemble_macro_f1"], 4)
+    print(f"soup control (winning recipe, {len(winning_members)} members): "
+          f"test F1 {s_res['ensemble_macro_f1']:.4f}", flush=True)
+
+    # ---- stage 2: distilled students ------------------------------------
+    soft = teacher_soft_targets(model_cfg, teachers, data)
+    print(f"teacher soft targets: {soft.shape}, train-split teacher acc "
+          f"{(soft[splits.train].argmax(1) == data.labels[splits.train]).mean():.4f}",
+          flush=True)
+
+    for spec in args.grid.split(","):
+        a_str, t_str = spec.split(":")
+        alpha, temp = float(a_str), float(t_str)
+        tc = TrainConfig(**base_t, distill_alpha=alpha, distill_temp=temp)
+        outs = train_many_seeds(data, splits, model_cfg, tc, batch_size=64,
+                                seeds=list(range(100, 100 + args.student_seeds)),
+                                seeds_per_call=args.seeds_per_call,
+                                epochs_per_call=args.epochs_per_call,
+                                verbose=False, soft_targets=soft)
+        bm, bs, vm, vs = stats(outs)
+        key = f"student:a{alpha}:T{temp}"
+        summary[key] = {"best_epoch_f1": round(bm, 4),
+                        "best_epoch_std": round(bs, 4),
+                        "val_selected_f1": round(vm, 4),
+                        "val_selected_std": round(vs, 4)}
+        print(f"{key:20s} best-epoch {bm:.4f}±{bs:.4f} "
+              f"val-sel {vm:.4f}±{vs:.4f}", flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
