@@ -16,8 +16,15 @@ teacher member selection and the student's best-epoch selection both
 use the VAL split only (loss); the teacher's soft targets are consumed
 on TRAIN rows only (the trainer gathers ``soft_targets`` exclusively at
 train indices — val/test rows are present for row alignment but never
-read).  Measured outcome lives in artifacts/probes/r4_distill.log and
-the README quality table.
+read).
+
+MEASURED (v5e-1, artifacts/probes/r4_distill.{log,json}): the single
+student of the pooled top-8-of-16 teacher (itself 0.7677 test macro-F1)
+reaches 0.7680±0.005 best-epoch / 0.7581±0.005 val-selected at
+alpha=0.5 T=1 (4 seeds, winning recipe) vs 0.7601/0.7496 for the plain
+single model — ensemble-band quality at 1/8 the serving FLOPs.  T=2
+and alpha∈{0.8, 1.0} all measured worse (0.7606–0.7641 best-epoch);
+alpha=0.5 T=1 is the recipe.
 
 Run: python scripts/probe_distill.py  (pool → teacher → student grid)
 CLI: python -m mmer_tpu.train.cli --fused --distill_from a.msgpack,b...

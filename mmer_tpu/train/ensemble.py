@@ -138,9 +138,11 @@ def soup_params(params_list: Sequence[dict]) -> dict:
     """Uniform model soup (Wortsman et al. 2022): element-wise mean of
     the member parameter trees.  One model at 1/M serving cost IF the
     members are linearly mode-connected — independently-seeded runs
-    usually are NOT (different random inits land in different basins),
-    so this ships as a measured control next to distillation
-    (scripts/probe_distill.py), not as a recommended path."""
+    are NOT (different random inits land in different basins).
+    MEASURED (artifacts/probes/r4_distill.log): souping the winning
+    recipe's 4 seed members scores 0.4798 test macro-F1 vs 0.7601 for
+    any single member — a documented negative control next to
+    distillation (scripts/probe_distill.py), not a recommended path."""
     if not params_list:
         raise ValueError("need at least one member to soup")
     return jax.tree_util.tree_map(

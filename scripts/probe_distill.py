@@ -23,6 +23,16 @@ Controls:
 Run (one TPU process at a time!):
   PYTHONPATH=/root/repo:$PYTHONPATH python scripts/probe_distill.py \
       2>&1 | tee artifacts/probes/r4_distill.log
+
+MEASURED (v5e-1, artifacts/probes/r4_distill.{log,json}): teacher
+reproduces at exactly 0.7677; student a0.5:T1 wins with 0.7680±0.005
+best-epoch / 0.7581±0.005 val-selected (vs plain single 0.7601/0.7496)
+— a real +0.85 F1 deployment-honest gain at single-model serving cost;
+a0.5:T2 0.7625, a1.0:T2 0.7641, a0.8:T2 0.7606 — temperature and pure-
+soft both lose, alpha=0.5 T=1 is the recipe.  Soup control: 0.4798,
+fails as linear-mode-connectivity predicts.  The pool stage's recipe
+means landed within 0.001 of r4_recipe_sweep.log — full-loop
+reproducibility across probe runs.
 """
 
 from __future__ import annotations
