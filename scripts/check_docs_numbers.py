@@ -85,6 +85,27 @@ def check(repo: str = REPO) -> list:
         expect("CLAUDE.md pod clips/s", m.group(1), pod, _close_rel)
         expect("CLAUDE.md pod multiple", m.group(2), pod_vs, _close_rel)
 
+    # Distillation quality row: README's student numbers must match the
+    # committed probe artifact (exact — both are one measured run, no
+    # jitter tolerance applies to copied constants).
+    dpath = os.path.join(repo, "artifacts", "probes", "r4_distill.json")
+    if os.path.exists(dpath):
+        with open(dpath) as f:
+            win = json.load(f)["student:a0.5:T1.0"]
+        m = re.search(
+            r"\*\*0\.(\d{4}) ± 0\.005 best-epoch / 0\.(\d{4}) ± 0\.005\s*\n?"
+            r"val-selected\*\*", readme)
+        if not m:
+            errors.append("README: distillation student "
+                          "'**X best-epoch / Y val-selected**' not found")
+        else:
+            expect("README distill best-epoch F1",
+                   float("0." + m.group(1)), win["best_epoch_f1"],
+                   lambda a, b: abs(a - b) < 5e-5)
+            expect("README distill val-selected F1",
+                   float("0." + m.group(2)), win["val_selected_f1"],
+                   lambda a, b: abs(a - b) < 5e-5)
+
     return errors
 
 
