@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
 import threading
 import traceback
@@ -41,6 +42,46 @@ from urllib.parse import parse_qs, urlparse
 from mmer_tpu.serve.engine import InferenceEngine
 
 CORS_ORIGINS = {"http://localhost:5173", "http://localhost:3000"}
+
+# Default deployable checkpoint: what scripts/make_flagship.py writes.
+# Overridable via MMER_FLAGSHIP_DIR for relocated deployments.
+FLAGSHIP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "artifacts", "flagship")
+
+
+def resolve_default_fusion(flagship_dir: Optional[str] = None):
+    """Locate the in-repo flagship checkpoint for a bare server start.
+
+    Returns ``(fusion_params_path, norm_stats_path, model_config_dict)``
+    — any of which may be None when the corresponding artifact is absent.
+    The reference's bare start silently serves RANDOM fusion weights
+    (inference.py:236-265 catches the load failure and keeps the random
+    init); here a bare ``python -m mmer_tpu.serve.app`` serves the
+    measured-best model when one has been built, and warns loudly when
+    it hasn't (main() below) instead of quietly degrading.
+    """
+    d = flagship_dir or os.environ.get("MMER_FLAGSHIP_DIR", FLAGSHIP_DIR)
+    manifest_path = os.path.join(d, "manifest.json")
+    if not os.path.exists(manifest_path):
+        return None, None, None
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
+        return None, None, None
+    ckpt = manifest.get("checkpoint")
+    if not ckpt:
+        return None, None, None
+    # The manifest records the path as written at build time (often
+    # relative to the repo root); the artifact lives next to the
+    # manifest, so resolve by basename against the manifest's own dir.
+    cand = os.path.join(d, os.path.basename(ckpt))
+    if not os.path.exists(cand):
+        return None, None, None
+    ns = os.path.join(d, "norm_stats.npz")
+    return (cand, ns if os.path.exists(ns) else None,
+            manifest.get("model_config"))
 
 # Uploads above this are rejected with 413 BEFORE the body is read: the
 # threaded stdlib server buffers each upload in RAM (and /remux then holds
@@ -330,7 +371,26 @@ def main():
                              "'480x640,720x1280' (first upload of an "
                              "unwarmed resolution pays a small compile)")
     args = parser.parse_args()
-    engine = InferenceEngine(fusion_params_path=args.fusion_params,
+    model_cfg = None
+    if args.fusion_params is None:
+        ckpt, ns, mc = resolve_default_fusion()
+        if ckpt is not None:
+            args.fusion_params = ckpt
+            if args.norm_stats is None:
+                args.norm_stats = ns
+            if mc:
+                from mmer_tpu.config import ModelConfig
+                model_cfg = ModelConfig(**mc)
+            print(f"serving flagship checkpoint: {ckpt}"
+                  f" (norm stats: {args.norm_stats})")
+        else:
+            print("WARNING: no --fusion_params given and no flagship "
+                  "artifact found — serving UNTRAINED (random-init) "
+                  "fusion weights. Build one with "
+                  "`python scripts/make_flagship.py` or pass a "
+                  "checkpoint explicitly.")
+    engine = InferenceEngine(model_cfg=model_cfg,
+                             fusion_params_path=args.fusion_params,
                              vivit_params_path=args.vivit_params,
                              wav_params_path=args.wav_params,
                              norm_stats_path=args.norm_stats,

@@ -379,3 +379,46 @@ def test_subchunk_stream_matches_one_shot_and_stays_bounded():
 # serving route: the quantized ViViT measured 0.80× bf16 on chip —
 # artifacts/probes/r3_onchip.json; tests/test_quant.py keeps the quant
 # modules' direct agreement tests.)
+
+
+def test_resolve_default_fusion(tmp_path, monkeypatch):
+    """Bare server start resolves the flagship artifact when present
+    (checkpoint path re-anchored by basename next to the manifest), and
+    returns Nones — so main() warns LOUDLY — when it is not.  The
+    reference's bare start silently serves random fusion weights
+    (inference.py:236-265); this is the anti-behavior."""
+    from mmer_tpu.serve.app import resolve_default_fusion
+
+    # absent dir → all None
+    assert resolve_default_fusion(str(tmp_path / "nope")) == (
+        None, None, None)
+
+    d = tmp_path / "flagship"
+    d.mkdir()
+    # manifest present but checkpoint file missing → still None
+    (d / "manifest.json").write_text(json.dumps(
+        {"checkpoint": "artifacts/flagship/flagship.msgpack",
+         "model_config": {"max_seq_len": 6}}))
+    assert resolve_default_fusion(str(d)) == (None, None, None)
+
+    (d / "flagship.msgpack").write_bytes(b"\x80")
+    ckpt, ns, mc = resolve_default_fusion(str(d))
+    assert ckpt == str(d / "flagship.msgpack")
+    assert ns is None                       # no norm_stats.npz yet
+    assert mc == {"max_seq_len": 6}
+    ModelConfig(**mc)                       # manifest keys are real fields
+
+    np.savez(d / "norm_stats.npz", video_mean=np.zeros(2))
+    _, ns, _ = resolve_default_fusion(str(d))
+    assert ns == str(d / "norm_stats.npz")
+
+    # corrupt manifest → None, not a crash
+    (d / "manifest.json").write_text("{not json")
+    assert resolve_default_fusion(str(d)) == (None, None, None)
+
+    # MMER_FLAGSHIP_DIR overrides the in-repo default
+    (d / "manifest.json").write_text(json.dumps(
+        {"checkpoint": "flagship.msgpack"}))
+    monkeypatch.setenv("MMER_FLAGSHIP_DIR", str(d))
+    ckpt, _, mc = resolve_default_fusion()
+    assert ckpt == str(d / "flagship.msgpack") and mc is None
