@@ -422,3 +422,50 @@ def test_resolve_default_fusion(tmp_path, monkeypatch):
     monkeypatch.setenv("MMER_FLAGSHIP_DIR", str(d))
     ckpt, _, mc = resolve_default_fusion()
     assert ckpt == str(d / "flagship.msgpack") and mc is None
+
+
+def test_flagship_manifest_roundtrip(tmp_path):
+    """make_flagship's artifact layout (manifest + msgpack + norm stats)
+    resolves and serves through the bare-start path: resolve →
+    ModelConfig(**manifest model_config) → engine load → forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from mmer_tpu.models.fusion import MultimodalEmotionModel
+    from mmer_tpu.serve.app import resolve_default_fusion
+    from mmer_tpu.train.checkpoint import save_params_msgpack
+
+    mc_dict = {"max_seq_len": TINY_FUSION.max_seq_len,
+               "fusion_layers": TINY_FUSION.fusion_layers,
+               "compute_dtype": "float32",
+               "fusion_dropout": 0.2, "classifier_dropout": 0.2}
+    cfg = ModelConfig(**mc_dict)
+    model = MultimodalEmotionModel(cfg)
+    t = cfg.max_seq_len - 1
+    variables = model.init({"params": jax.random.PRNGKey(3)},
+                           jnp.zeros((1, t, 768)), jnp.zeros((1, 1024)),
+                           jnp.zeros((1, t), bool))
+
+    d = tmp_path / "flagship"
+    d.mkdir()
+    save_params_msgpack(str(d / "flagship.msgpack"), variables["params"])
+    np.savez(d / "norm_stats.npz",
+             video_mean=np.zeros(768, np.float32),
+             video_std=np.ones(768, np.float32),
+             audio_mean=np.zeros(1024, np.float32),
+             audio_std=np.ones(1024, np.float32))
+    (d / "manifest.json").write_text(json.dumps(
+        {"checkpoint": "artifacts/flagship/flagship.msgpack",
+         "model_config": mc_dict}))
+
+    ckpt, ns, mc = resolve_default_fusion(str(d))
+    eng = InferenceEngine(model_cfg=ModelConfig(**mc), vivit_cfg=TINY_VIVIT,
+                          fusion_params_path=ckpt, norm_stats_path=ns)
+    _, params, apply = eng.fusion
+    np.testing.assert_array_equal(
+        np.asarray(params["params"]["fusion"]["video_proj"]["kernel"]),
+        np.asarray(variables["params"]["fusion"]["video_proj"]["kernel"]))
+    probs, _, _ = apply(params, jnp.zeros((1, t, 768)),
+                        jnp.zeros((1, 1024)), jnp.zeros((1, t), bool))
+    np.testing.assert_allclose(np.asarray(probs).sum(), 1.0, rtol=1e-5)
+    assert eng.norm_stats["video_std"].shape == (768,)
