@@ -14,6 +14,10 @@ Routes (reference back-end/app/main.py, routers/ping.py, routers/infer.py):
   reference's in-browser ffmpeg.wasm copy→libx264→mpeg4 chain
   (front-end VideoPlayer.tsx:336-441); 415 + ``{"detail": ...}`` only
   when both routes fail.
+- ``GET /`` + ``GET /static/*`` → the no-build frontend
+  (frontend/static/, an ES-module twin of the Vite app) so the full UI is
+  servable from this image with zero toolchain; the reference needs a
+  separate node-built nginx image for this (front-end/Dockerfile).
 
 Why not FastAPI: this deployment image has no fastapi/uvicorn/starlette, so
 the server is a threaded stdlib ``http.server`` with a small multipart
@@ -42,6 +46,27 @@ from urllib.parse import parse_qs, urlparse
 from mmer_tpu.serve.engine import InferenceEngine
 
 CORS_ORIGINS = {"http://localhost:5173", "http://localhost:3000"}
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+# No-build frontend (frontend/static/): the reference serves its React SPA
+# from a separate node-built nginx image (front-end/Dockerfile); this image
+# has no node, so the backend itself serves a dependency-free ES-module
+# twin of the Vite app.  An explicit allowlist (not a directory walk) —
+# there is no path under an attacker-controlled name to traverse.
+# /static/app.css is the SAME stylesheet the Vite app imports, so the two
+# frontends cannot drift visually.
+STATIC_ROUTES = {
+    "/": (os.path.join(_REPO_ROOT, "frontend", "static", "index.html"),
+          "text/html; charset=utf-8"),
+    "/static/app.js": (
+        os.path.join(_REPO_ROOT, "frontend", "static", "app.js"),
+        "application/javascript; charset=utf-8"),
+    "/static/app.css": (
+        os.path.join(_REPO_ROOT, "frontend", "src", "app.css"),
+        "text/css; charset=utf-8"),
+}
 
 # Default deployable checkpoint: what scripts/make_flagship.py writes.
 # Overridable via MMER_FLAGSHIP_DIR for relocated deployments.
@@ -135,8 +160,12 @@ def _query_bool(q: Dict, key: str, default: bool = False) -> bool:
 
 
 def make_handler(engine: InferenceEngine,
-                 max_upload_bytes: int = DEFAULT_MAX_UPLOAD_BYTES):
+                 max_upload_bytes: int = DEFAULT_MAX_UPLOAD_BYTES,
+                 extra_static: Optional[Dict[str, Tuple[str, str]]] = None):
     lock = threading.Lock()
+    static_routes = dict(STATIC_ROUTES)
+    if extra_static:
+        static_routes.update(extra_static)
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "mmer_tpu/0.1"
@@ -163,12 +192,27 @@ def make_handler(engine: InferenceEngine,
             self.send_header("Access-Control-Allow-Headers", "*")
             self.end_headers()
 
+        def _send_file(self, fs_path: str, content_type: str) -> None:
+            try:
+                with open(fs_path, "rb") as f:
+                    data = f.read()
+            except OSError:
+                self._send_json(404, {"detail": "Not Found"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", content_type)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_GET(self):
             path = urlparse(self.path).path.rstrip("/") or "/"
             if path == "/ping":
                 self._send_json(200, {"message": "pong"})
             elif path == "/health":
                 self._send_json(200, {"status": "ok"})
+            elif path in static_routes:
+                self._send_file(*static_routes[path])
             else:
                 self._send_json(404, {"detail": "Not Found"})
 
@@ -260,12 +304,14 @@ def make_handler(engine: InferenceEngine,
 
 def serve(engine: Optional[InferenceEngine] = None, host: str = "0.0.0.0",
           port: int = 8000,
-          max_upload_bytes: int = DEFAULT_MAX_UPLOAD_BYTES
+          max_upload_bytes: int = DEFAULT_MAX_UPLOAD_BYTES,
+          extra_static: Optional[Dict[str, Tuple[str, str]]] = None
           ) -> ThreadingHTTPServer:
     """Start the API server (blocking; returns the server if shut down)."""
     engine = engine or InferenceEngine()
     httpd = ThreadingHTTPServer((host, port),
-                                make_handler(engine, max_upload_bytes))
+                                make_handler(engine, max_upload_bytes,
+                                             extra_static=extra_static))
     print(f"mmer_tpu API listening on {host}:{port}", flush=True)
     try:
         httpd.serve_forever()
