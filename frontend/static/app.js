@@ -288,16 +288,29 @@ function drawWaveform() {
 function hbars(containerId, title, entries, color) {
   const el = $(containerId);
   const max = entries.reduce((a, e) => Math.max(a, e.value), 0) || 1;
-  el.innerHTML = `<h4>${title}</h4>`;
+  // title/labels carry backend-supplied strings (e.g. the predicted class)
+  // — built with textContent, not interpolated into innerHTML (ADVICE r4).
+  el.innerHTML = "";
+  const h = document.createElement("h4");
+  h.textContent = title;
+  el.appendChild(h);
+  const span = (cls, text) => {
+    const s = document.createElement("span");
+    s.className = cls;
+    if (text !== undefined) s.textContent = text;
+    return s;
+  };
   for (const e of entries) {
     const row = document.createElement("div");
     row.className = "hbar-row";
-    row.innerHTML =
-      `<span class="hbar-label">${e.label}</span>` +
-      `<span class="hbar-track"><span class="hbar-fill" style="width:${
-        (100 * e.value) / max
-      }%;background:${color}"></span></span>` +
-      `<span class="hbar-value">${e.value.toExponential(2)}</span>`;
+    row.appendChild(span("hbar-label", e.label));
+    const track = span("hbar-track");
+    const fill = span("hbar-fill");
+    fill.style.width = `${(100 * e.value) / max}%`;
+    fill.style.background = color;
+    track.appendChild(fill);
+    row.appendChild(track);
+    row.appendChild(span("hbar-value", e.value.toExponential(2)));
     el.appendChild(row);
   }
 }
@@ -341,10 +354,15 @@ function renderResult() {
     chip.className = "chip";
     chip.style.borderColor = EMOTION_COLORS[item.class] ?? "#3a4150";
     chip.title = `seek to frame ${item.frame}`;
-    chip.innerHTML =
-      `<span class="dot" style="background:${
-        EMOTION_COLORS[item.class] ?? "#8a8f98"
-      }"></span>${item.class} @ ${item.frame}`;
+    // Backend-supplied strings (item.class) go through textContent, never
+    // innerHTML — same injection posture as the React twin (ADVICE r4).
+    const dot = document.createElement("span");
+    dot.className = "dot";
+    dot.style.background = EMOTION_COLORS[item.class] ?? "#8a8f98";
+    chip.appendChild(dot);
+    chip.appendChild(
+      document.createTextNode(`${item.class} @ ${item.frame}`),
+    );
     chip.addEventListener("click", () => seekTo(item.frame / fps()));
     chips.appendChild(chip);
   }
@@ -398,7 +416,14 @@ async function maybeRunDemo() {
   const q = new URLSearchParams(location.search);
   const src = q.get("demo");
   if (!src) return;
-  const blob = await (await fetch(src)).blob();
+  // Same-origin only: a crafted ?demo= link must not make the page fetch
+  // an arbitrary cross-origin resource and POST it to /infer (ADVICE r4).
+  if (new URL(src, location.href).origin !== location.origin) {
+    throw new Error(`demo source must be same-origin: ${src}`);
+  }
+  const resp = await fetch(src);
+  if (!resp.ok) throw new Error(`demo fetch failed: HTTP ${resp.status}`);
+  const blob = await resp.blob();
   const file = new File([blob], src.split("/").pop() || "demo.mp4", {
     type: "video/mp4",
   });
@@ -412,8 +437,14 @@ async function maybeRunDemo() {
   // Park the playhead mid-clip so the overlay/chart render deterministically.
   const video = $("video");
   video.currentTime = (video.duration || 0) / 2;
-  state.demoDone = true;
+  // Done only on SUCCESS: analyze() swallows failures into the error
+  // dialog, so a headless driver asserting __mmer.demoDone must not pass
+  // on a failed inference (ADVICE r4).
+  state.demoDone = !!state.result;
 }
 
 wire();
-maybeRunDemo();
+maybeRunDemo().catch((e) => {
+  $("error-text").textContent = e instanceof Error ? e.message : String(e);
+  $("error-dialog").hidden = false;
+});

@@ -160,10 +160,17 @@ def test_demo_flow_http_replay(tmp_path):
     exists in this image, so this proves the server half of the demo URL
     end-to-end: page → module → stylesheet → clip fetch → /health →
     /infer with the autopilot's parameters → renderable response."""
-    import sys
+    # Load by explicit file path — inserting scripts/ into sys.path would
+    # leak it (and the cached module) into the rest of the pytest session
+    # where it could shadow imports (ADVICE r4).
+    import importlib.util
 
-    sys.path.insert(0, os.path.join(ROOT, "scripts"))
-    from demo_frontend import make_demo_clip
+    spec = importlib.util.spec_from_file_location(
+        "_demo_frontend_for_test",
+        os.path.join(ROOT, "scripts", "demo_frontend.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    make_demo_clip = mod.make_demo_clip
 
     cv2 = pytest.importorskip("cv2")
     pytest.importorskip("matplotlib")
