@@ -100,7 +100,23 @@ def extract_audio_track(video_path: str, sample_rate: int = 16000,
     """Audio track of a video container (optionally a time window) → mono
     float32 waveform.  Replaces the reference's per-window mp3/temp-wav
     subprocess dance (back-end/app/libs/inference.py:413-467) with a single
-    decode; returns None without ffmpeg."""
+    decode.
+
+    Decode order: (1) a pure-Python demux of an MP4 PCM track
+    (serve/pcm_mp4 — the in-image route, no external binaries), then
+    (2) the ffmpeg CLI for compressed tracks; None when neither applies."""
+    from mmer_tpu.serve.pcm_mp4 import demux_pcm_track
+
+    pcm = demux_pcm_track(video_path)
+    if pcm is not None:
+        wav, src_rate = pcm
+        if start_s is not None:
+            wav = wav[int(round(start_s * src_rate)):]
+        if duration_s is not None:
+            wav = wav[:int(round(duration_s * src_rate))]
+        if not len(wav):
+            return None
+        return resample(wav, src_rate, sample_rate)
     if not ffmpeg_available():
         return None
     cmd = ["ffmpeg", "-v", "error"]

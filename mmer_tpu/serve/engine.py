@@ -66,6 +66,34 @@ def _auto_mosaic_opt_in(key_prefix: str, cache_dir: str = None,
             and bool(aot_artifacts(key_prefix, cache_dir)))
 
 
+def window_audio_slices(seq_frames_idx: Sequence[int],
+                        win_lens: Sequence[int], subchunk_size: int,
+                        fps: float, sample_rate: int
+                        ) -> List[Tuple[int, int]]:
+    """Per-window waveform sample ranges ``[lo, hi)`` for a face sequence.
+
+    Window ``s`` covers subchunks ``s..s+win_lens[s]`` of the sequence; its
+    audio runs from the wall-clock time of the window's FIRST video frame
+    to just past its LAST (reference back-end/app/libs/inference.py:413-431
+    computes the same ``frame/fps`` start/end seconds, then extracts that
+    span with two ffmpeg subprocesses per window — here the already-decoded
+    waveform is sliced).  ``seq_frames_idx`` holds ORIGINAL video frame
+    numbers, so gaps the grouper tolerated (≤ max_delay dropped
+    detections) correctly stretch the audio span.  Ranges are guaranteed
+    non-empty (``hi ≥ lo+1``); callers clip against the actual waveform
+    length."""
+    slices: List[Tuple[int, int]] = []
+    n_frames = len(seq_frames_idx)
+    for s, wl in enumerate(win_lens):
+        f_lo = seq_frames_idx[min(s * subchunk_size, n_frames - 1)]
+        last = min((s + wl) * subchunk_size, n_frames) - 1
+        f_hi = seq_frames_idx[last]
+        lo = int(f_lo / fps * sample_rate)
+        hi = int((f_hi + 1) / fps * sample_rate)
+        slices.append((lo, max(hi, lo + 1)))
+    return slices
+
+
 class InferenceEngine:
     """Lazy-loading, jit-caching engine shared by the HTTP app and tests."""
 
@@ -403,16 +431,10 @@ class InferenceEngine:
             win_lens = [min(window_size, n_sub - s) for s in range(n_sub)]
             audio_waves = []
             if waveform is not None:
-                sr = self.wav_cfg.sample_rate
-                for s, wl in enumerate(win_lens):
-                    f_lo = seq_frames_idx[min(s * subchunk_size,
-                                              len(seq_frames_idx) - 1)]
-                    last = min((s + wl) * subchunk_size,
-                               len(seq_frames_idx)) - 1
-                    f_hi = seq_frames_idx[last]
-                    lo = int(f_lo / fps * sr)
-                    hi = int((f_hi + 1) / fps * sr)
-                    piece = waveform[lo:max(hi, lo + 1)]
+                for lo, hi in window_audio_slices(
+                        seq_frames_idx, win_lens, subchunk_size, fps,
+                        self.wav_cfg.sample_rate):
+                    piece = waveform[lo:hi]
                     audio_waves.append(piece if len(piece) else
                                        np.zeros(1, np.float32))
                 audio_embs = self.audio_embedder.embed_batch(audio_waves)

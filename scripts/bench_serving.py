@@ -17,6 +17,13 @@ Uploads are synthesized here (grace-hopper face video via cv2) so the
 bench is self-contained; per-request inputs get per-request pixel jitter
 so repeated device calls are never identical (tunnel dedup trap,
 CLAUDE.md).
+
+Uploads carry a REAL audio track by default (PCM muxed via serve/pcm_mp4
+— the in-image decodable route), so the measured latencies include the
+per-window Wav2Vec2 embedding the reference runs on every request
+(back-end/app/libs/inference.py:413-469).  ``--no_audio`` reproduces the
+pre-r5 video-only numbers (the r4 README latency table silently excluded
+the audio leg — VERDICT r4 weak #1).
 """
 
 from __future__ import annotations
@@ -32,7 +39,8 @@ import numpy as np
 
 
 def make_face_video(path: str, frames: int, seed: int, size=(256, 300),
-                    fps: float = 30.0) -> None:
+                    fps: float = 30.0, audio: bool = True,
+                    sample_rate: int = 16000) -> None:
     import cv2
     from matplotlib import cbook
     from PIL import Image
@@ -48,6 +56,16 @@ def make_face_video(path: str, frames: int, seed: int, size=(256, 300),
         jitter = img.astype(np.int16) + rng.integers(-8, 8, img.shape)
         w.write(np.clip(jitter, 0, 255).astype(np.uint8)[:, :, ::-1])
     w.release()
+    if audio:
+        # Per-seed tone + noise: repeated device calls are never identical
+        # (tunnel dedup trap), and the engine's audio branch goes live.
+        from mmer_tpu.serve.pcm_mp4 import mux_pcm_track
+        t = np.arange(int(frames / fps * sample_rate)) / sample_rate
+        wav = (0.4 * np.sin(2 * np.pi * (200 + 40 * seed) * t)
+               + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+        data = mux_pcm_track(open(path, "rb").read(), wav, sample_rate)
+        with open(path, "wb") as f:
+            f.write(data)
 
 
 def pctl(xs, p):
@@ -62,6 +80,9 @@ def main() -> None:
     ap.add_argument("--no_warmup", action="store_true",
                     help="skip warmup() and measure the cold first request")
     ap.add_argument("--detect_every", type=int, default=3)
+    ap.add_argument("--no_audio", action="store_true",
+                    help="synthesize uploads WITHOUT an audio track "
+                         "(reproduces the pre-r5 video-only latencies)")
     ap.add_argument("--long_upload_frames", type=int, default=0,
                     help="also run ONE long upload of this many frames "
                          "(e.g. 3600 = 2 min @ 30fps) and report its "
@@ -80,7 +101,7 @@ def main() -> None:
     uploads = []
     for i in range(args.requests + 1):
         p = os.path.join(tmp, f"u{i}.mp4")
-        make_face_video(p, args.frames, seed=i)
+        make_face_video(p, args.frames, seed=i, audio=not args.no_audio)
         uploads.append(open(p, "rb").read())
 
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
@@ -118,7 +139,8 @@ def main() -> None:
         import resource
 
         p = os.path.join(tmp, "long.mp4")
-        make_face_video(p, args.long_upload_frames, seed=99)
+        make_face_video(p, args.long_upload_frames, seed=99,
+                        audio=not args.no_audio)
         data = open(p, "rb").read()
         decoded_mb = args.long_upload_frames * 300 * 256 * 3 / 1e6
         rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
@@ -143,6 +165,7 @@ def main() -> None:
         **({"long_upload": long_stats} if long_stats else {}),
         "first_request_s": round(first, 2),
         "warmed": not args.no_warmup,
+        "audio_live": not args.no_audio,
         "frames_per_upload": args.frames,
         "detect_every": args.detect_every,
         "p50_ms": round(pctl(results[False], 50) * 1e3, 1),

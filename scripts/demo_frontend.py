@@ -32,10 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_demo_clip(path: str, frames: int = 48, size=(256, 300)) -> None:
+def make_demo_clip(path: str, frames: int = 48, size=(256, 300),
+                   audio: bool = True) -> None:
     """An mp4 whose frames contain a real face (matplotlib's bundled
     grace_hopper portrait) with slight jitter, so the Viola-Jones
-    detector fires on real structure — same recipe as tests/test_serve.py."""
+    detector fires on real structure — same recipe as tests/test_serve.py.
+    Carries a PCM tone track by default (serve/pcm_mp4) so the demo drives
+    the live audio leg and the frontend waveform has real content."""
     import cv2
     from matplotlib import cbook
     from PIL import Image
@@ -51,6 +54,15 @@ def make_demo_clip(path: str, frames: int = 48, size=(256, 300)) -> None:
         jitter = img.astype(np.int16) + rng.integers(-8, 8, img.shape)
         w.write(np.clip(jitter, 0, 255).astype(np.uint8)[:, :, ::-1])
     w.release()
+    if audio:
+        from mmer_tpu.serve.pcm_mp4 import mux_pcm_track
+        sr = 16000
+        t = np.arange(int(frames / 30.0 * sr)) / sr
+        wav = (0.4 * np.sin(2 * np.pi * 330 * t)
+               * (0.6 + 0.4 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
+        data = mux_pcm_track(open(path, "rb").read(), wav, sr)
+        with open(path, "wb") as f:
+            f.write(data)
 
 
 def main() -> None:
@@ -62,7 +74,7 @@ def main() -> None:
                         help="production-size extractors (slow on CPU)")
     args = parser.parse_args()
 
-    from mmer_tpu.config import ModelConfig, ViViTConfig
+    from mmer_tpu.config import ModelConfig, ViViTConfig, Wav2Vec2Config
     from mmer_tpu.serve.app import serve
     from mmer_tpu.serve.engine import InferenceEngine
 
@@ -80,7 +92,16 @@ def main() -> None:
             vivit_cfg=ViViTConfig(image_size=(32, 32), patch_size=(16, 16),
                                   num_frames=4, tubelet_size=2, dim=768,
                                   depth=1, heads=2, dim_head=32, mlp_dim=64,
-                                  compute_dtype="float32"))
+                                  compute_dtype="float32"),
+            # hidden_dim stays 1024 = the fusion model's audio_dim; the
+            # demo clip carries a PCM track so the audio leg runs live.
+            wav_cfg=Wav2Vec2Config(hidden_dim=1024, num_layers=1,
+                                   num_heads=2, ffn_dim=64,
+                                   conv_dims=(16, 16), conv_strides=(5, 2),
+                                   conv_kernels=(10, 3),
+                                   num_conv_pos_embeddings=16,
+                                   num_conv_pos_embedding_groups=4,
+                                   compute_dtype="float32"))
 
     url = (f"http://{args.host}:{args.port}/"
            f"?demo=/static/demo.mp4&subchunk=4&window=2&detect=3")
