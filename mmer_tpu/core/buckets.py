@@ -18,6 +18,34 @@ python loops).  This is a TPU/XLA-specific obligation.
 from __future__ import annotations
 
 
+# Per-axis frame-size ladder for serving uploads (VERDICT r4 #3): the
+# device crop graph (ops/image.crop_resize_batch inside
+# extract.embed_cropped_frames) is shape-specialized on (H, W), so raw
+# upload resolutions would compile an unbounded graph family — each novel
+# resolution's first request paid an 11-19 s Mosaic/XLA compile.  Padding
+# every frame up to the next ladder rung caps the family at
+# len(ladder)² combinations (a handful in practice: camera formats
+# cluster), and edge-replication padding keeps in-bounds crops
+# BIT-IDENTICAL (the crop's bilinear weights normalize over equal-valued
+# replicated pixels).  Frames beyond the top rung are downscaled to fit
+# first (bboxes scale with them) — the only lossy case.
+RESOLUTION_LADDER = (160, 240, 320, 480, 640, 720, 960, 1280, 1920)
+
+
+def resolution_bucket(h: int, w: int) -> tuple:
+    """((ch, cw), scale): the canonical padded frame size for an upload
+    frame of (h, w), and the downscale factor to apply FIRST (1.0 for
+    anything within the ladder)."""
+    top = RESOLUTION_LADDER[-1]
+    scale = min(1.0, top / h, top / w)
+    if scale < 1.0:
+        h, w = int(round(h * scale)), int(round(w * scale))
+        h, w = min(h, top), min(w, top)
+    ch = next(r for r in RESOLUTION_LADDER if r >= h)
+    cw = next(r for r in RESOLUTION_LADDER if r >= w)
+    return (ch, cw), scale
+
+
 def batch_bucket(n: int, max_pow2: int = 128) -> int:
     """Round batch size ``n`` up to a bounded shape set: powers of two up
     to ``max_pow2``, then multiples of ``max_pow2`` (so huge batches pad by

