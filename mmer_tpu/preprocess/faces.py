@@ -98,7 +98,9 @@ class HaarFaceDetector:
 
     def detect_near(self, frame_rgb: np.ndarray,
                     prior: Tuple[float, float, float, float],
-                    expand: float = 0.75, iou_gate: float = 0.25
+                    expand: float = 0.75, iou_gate: float = 0.25,
+                    retry_angles: Tuple[float, ...] = (15.0, -15.0,
+                                                       30.0, -30.0)
                     ) -> Optional[Tuple[float, float, float, float, float]]:
         """Relaxed re-detection with a tracking prior (VERDICT r2 #6).
 
@@ -109,6 +111,13 @@ class HaarFaceDetector:
         ``iou_gate``).  The prior gate is what keeps the relaxation from
         inventing faces: with no prior there is no relaxed pass at all, so
         the no-face false-positive behavior is unchanged.
+
+        When the upright pass misses, the ROI is retried at small in-plane
+        rotations (``retry_angles``; VERDICT r4 #5 — tilted heads defeat a
+        frontal cascade; the reference's YOLO handles them natively) and a
+        hit is mapped back through the inverse rotation.  The retries run
+        on the small prior ROI, cost only miss-frames, and sit behind the
+        same prior-IoU gate.
         """
         import cv2
 
@@ -122,18 +131,44 @@ class HaarFaceDetector:
         if ex2 - ex1 < 24 or ey2 - ey1 < 24:
             return None
         gray = cv2.cvtColor(frame_rgb[ey1:ey2, ex1:ex2], cv2.COLOR_RGB2GRAY)
-        dets = self._cascade.detect(
-            gray, scale_factor=self.scale_factor, min_neighbors=1,
-            min_size=max(24, int(0.6 * min(bw, bh))))
-        best, best_iou = None, iou_gate
-        for (dx1, dy1, dx2, dy2, conf) in dets:
-            if not self._texture_ok(gray, (dx1, dy1, dx2, dy2)):
-                continue
-            cand = (dx1 + ex1, dy1 + ey1, dx2 + ex1, dy2 + ey1)
-            v = _iou(cand, prior)
-            if v >= best_iou:
-                best, best_iou = (*cand, conf), v
-        return best
+        min_size = max(24, int(0.6 * min(bw, bh)))
+
+        def roi_pass(img, inv: Optional[np.ndarray]):
+            dets = self._cascade.detect(
+                img, scale_factor=self.scale_factor, min_neighbors=1,
+                min_size=min_size)
+            best, best_iou = None, iou_gate
+            for (dx1, dy1, dx2, dy2, conf) in dets:
+                if not self._texture_ok(img, (dx1, dy1, dx2, dy2)):
+                    continue
+                if inv is not None:
+                    # axis-aligned hull of the box corners mapped back
+                    # through the inverse rotation
+                    corners = np.asarray(
+                        [[dx1, dy1, 1], [dx2, dy1, 1],
+                         [dx2, dy2, 1], [dx1, dy2, 1]], np.float64)
+                    back = corners @ inv.T
+                    dx1, dy1 = back[:, 0].min(), back[:, 1].min()
+                    dx2, dy2 = back[:, 0].max(), back[:, 1].max()
+                cand = (dx1 + ex1, dy1 + ey1, dx2 + ex1, dy2 + ey1)
+                v = _iou(cand, prior)
+                if v >= best_iou:
+                    best, best_iou = (*cand, conf), v
+            return best
+
+        best = roi_pass(gray, None)
+        if best is not None:
+            return best
+        rh, rw = gray.shape
+        for angle in retry_angles:
+            m = cv2.getRotationMatrix2D((rw / 2, rh / 2), angle, 1.0)
+            rot = cv2.warpAffine(gray, m, (rw, rh),
+                                 borderMode=cv2.BORDER_REPLICATE)
+            inv = cv2.invertAffineTransform(m)
+            best = roi_pass(rot, inv)
+            if best is not None:
+                return best
+        return None
 
 
 class YoloFaceDetector:

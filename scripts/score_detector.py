@@ -91,14 +91,16 @@ def score_video(video_path: str, detector=None,
             x1, y1, x2, y2 = dets[0][:4]
             centers.append(((x1 + x2) / 2, (y1 + y2) / 2))
         if gt is not None and n in gt:
-            gt_frames += 1
-            best = 0.0
+            # Per-GT-BOX recall (not per-frame): a two-face frame counts
+            # each face separately, so detecting only one of two faces
+            # scores 50%, not 100%.
             for g in gt[n]:
-                for d in dets:
-                    best = max(best, iou(np.asarray(d[:4], float), g))
-            if best >= iou_thresh:
-                matched += 1
-                ious.append(best)
+                gt_frames += 1
+                best = max((iou(np.asarray(d[:4], float), g)
+                            for d in dets), default=0.0)
+                if best >= iou_thresh:
+                    matched += 1
+                    ious.append(best)
         n += 1
     cap.release()
 
@@ -273,6 +275,192 @@ def build_synthetic_suite(out_dir: str, n_face: int = 4, n_noface: int = 2,
     return suite
 
 
+# ---- robustness cells (VERDICT r4 #5): rotation / occlusion / multi-face
+# — the conditions the reference's YOLO backend handles implicitly
+# (cremad_extract_bboxes.py:39 runs conf=0.5 over unconstrained frames)
+# but a frontal Haar cascade may not.  Each cell composites GT-known clips
+# and reports raw + temporal-pipeline recall and matched IoU, published to
+# artifacts/detector/robustness_cells.json.
+
+def _sprite_and_canon():
+    """(face-centered sprite, canonical face box in sprite coords)."""
+    from mmer_tpu.preprocess.faces import default_detector
+
+    portrait = _portrait()
+    ph, pw = portrait.shape[:2]
+    dets = default_detector().detect(portrait)
+    if dets:
+        canon = np.asarray(dets[0][:4], float)
+    else:
+        canon = np.asarray([pw * 0.3, ph * 0.15, pw * 0.7, ph * 0.55])
+    bw, bh = canon[2] - canon[0], canon[3] - canon[1]
+    cx1 = int(max(canon[0] - 0.6 * bw, 0))
+    cy1 = int(max(canon[1] - 0.6 * bh, 0))
+    cx2 = int(min(canon[2] + 0.6 * bw, pw))
+    cy2 = int(min(canon[3] + 0.6 * bh, ph))
+    sprite = portrait[cy1:cy2, cx1:cx2]
+    return sprite, canon - np.asarray([cx1, cy1, cx1, cy1], float)
+
+
+def _paste_rotated(frame: np.ndarray, sprite: np.ndarray,
+                   canon: np.ndarray, scale: float, angle_deg: float,
+                   ox: int, oy: int) -> np.ndarray:
+    """Composite a scaled+rotated sprite at (ox, oy); return the GT box
+    (axis-aligned hull of the rotated canonical face corners)."""
+    import cv2
+
+    sh0, sw0 = sprite.shape[:2]
+    sw, sh = int(sw0 * scale), int(sh0 * scale)
+    scaled = cv2.resize(sprite, (sw, sh))
+    m = cv2.getRotationMatrix2D((sw / 2, sh / 2), angle_deg, 1.0)
+    cos, sin = abs(m[0, 0]), abs(m[0, 1])
+    rw, rh = int(sh * sin + sw * cos), int(sh * cos + sw * sin)
+    m[0, 2] += rw / 2 - sw / 2
+    m[1, 2] += rh / 2 - sh / 2
+    rot = cv2.warpAffine(scaled, m, (rw, rh))
+    mask = cv2.warpAffine(np.full((sh, sw), 255, np.uint8), m, (rw, rh))
+    h, w = frame.shape[:2]
+    ox = int(np.clip(ox, 0, max(w - rw, 0)))
+    oy = int(np.clip(oy, 0, max(h - rh, 0)))
+    region = frame[oy:oy + rh, ox:ox + rw]
+    sel = mask[:region.shape[0], :region.shape[1]] > 127
+    region[sel] = rot[:region.shape[0], :region.shape[1]][sel]
+
+    corners = np.asarray([[canon[0], canon[1]], [canon[2], canon[1]],
+                          [canon[2], canon[3]], [canon[0], canon[3]]],
+                         float) * scale
+    ones = np.concatenate([corners, np.ones((4, 1))], axis=1)
+    rc = ones @ m.T                                    # rotated corners
+    return np.asarray([ox + rc[:, 0].min(), oy + rc[:, 1].min(),
+                       ox + rc[:, 0].max(), oy + rc[:, 1].max()])
+
+
+def build_robustness_cells(out_dir: str, frames: int = 60,
+                           size: Tuple[int, int] = (360, 480),
+                           seed: int = 0):
+    """GT-known clips per robustness cell → [(cell, path, gt)].
+
+    Cells: in-plane rotation ±15°/±30° (oscillating), partial occlusion
+    (25%/40% of the face area covered by a moving opaque bar), and
+    two-face frames (two sprites at different scales on crossing paths).
+    """
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    h, w = size
+    sprite, canon = _sprite_and_canon()
+    sh0, sw0 = sprite.shape[:2]
+    out = []
+
+    for cell, max_deg in (("rotation_15", 15.0), ("rotation_30", 30.0)):
+        rng = np.random.default_rng(300 + seed)
+        path = os.path.join(out_dir, f"synth_{cell}.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             30.0, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("no mp4 encoder available")
+        gt: Dict[int, List[np.ndarray]] = {}
+        s = min(0.65, (h - 40) / sh0, (w - 40) / sw0)
+        for t in range(frames):
+            angle = max_deg * np.sin(2 * np.pi * t / frames)
+            ox = int((w - sw0 * s) * (0.5 + 0.3 * np.sin(
+                2 * np.pi * t / frames)))
+            oy = int((h - sh0 * s) * 0.4)
+            frame = _background(0, h, w, rng)
+            box = _paste_rotated(frame, sprite, canon, s, angle, ox, oy)
+            frame = np.clip(frame + rng.normal(0, 4, frame.shape), 0, 255)
+            vw.write(frame.astype(np.uint8)[:, :, ::-1])
+            gt[t] = [box]
+        vw.release()
+        out.append((cell, path, gt))
+
+    for cell, frac in (("occlusion_25", 0.25), ("occlusion_40", 0.40)):
+        rng = np.random.default_rng(400 + seed)
+        path = os.path.join(out_dir, f"synth_{cell}.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             30.0, (w, h))
+        if not vw.isOpened():
+            raise RuntimeError("no mp4 encoder available")
+        gt = {}
+        s = min(0.65, (h - 40) / sh0, (w - 40) / sw0)
+        sw, sh = int(sw0 * s), int(sh0 * s)
+        for t in range(frames):
+            ox = int((w - sw) * (0.5 + 0.3 * np.sin(2 * np.pi * t / frames)))
+            oy = int((h - sh) * 0.4)
+            frame = _background(0, h, w, rng)
+            frame[oy:oy + sh, ox:ox + sw] = cv2.resize(sprite, (sw, sh))
+            box = np.asarray([ox, oy, ox, oy], float) + canon * s
+            # opaque bar sweeping over the face: covers `frac` of the face
+            # area, alternating bottom/side coverage over time
+            bw_, bh_ = box[2] - box[0], box[3] - box[1]
+            if (t // 10) % 2 == 0:                     # bottom strip
+                y1 = int(box[3] - frac * bh_)
+                cv2.rectangle(frame, (int(box[0]) - 4, y1),
+                              (int(box[2]) + 4, int(box[3]) + 4),
+                              (70, 70, 70), -1)
+            else:                                      # side strip
+                x1 = int(box[2] - frac * bw_)
+                cv2.rectangle(frame, (x1, int(box[1]) - 4),
+                              (int(box[2]) + 4, int(box[3]) + 4),
+                              (70, 70, 70), -1)
+            frame = np.clip(frame + rng.normal(0, 4, frame.shape), 0, 255)
+            vw.write(frame.astype(np.uint8)[:, :, ::-1])
+            gt[t] = [box]
+        vw.release()
+        out.append((cell, path, gt))
+
+    rng = np.random.default_rng(500 + seed)
+    path = os.path.join(out_dir, "synth_two_face.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                         30.0, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError("no mp4 encoder available")
+    gt = {}
+    s_a, s_b = 0.5, 0.38
+    for t in range(frames):
+        frame = _background(0, h, w, rng)
+        boxes = []
+        for s, phase, ypos in ((s_a, 0.0, 0.12), (s_b, np.pi, 0.58)):
+            sw, sh = int(sw0 * s), int(sh0 * s)
+            ox = int((w - sw) * (0.5 + 0.4 * np.sin(
+                2 * np.pi * t / frames + phase)))
+            oy = int(np.clip(h * ypos, 0, h - sh))
+            frame[oy:oy + sh, ox:ox + sw] = cv2.resize(sprite, (sw, sh))
+            boxes.append(np.asarray([ox, oy, ox, oy], float) + canon * s)
+        frame = np.clip(frame + rng.normal(0, 4, frame.shape), 0, 255)
+        vw.write(frame.astype(np.uint8)[:, :, ::-1])
+        gt[t] = boxes
+    vw.release()
+    out.append(("two_face", path, gt))
+    return out
+
+
+def run_robustness_cells(frames: int, iou_thresh: float,
+                         out: Optional[str]) -> dict:
+    import json
+    import tempfile
+
+    key = f"recall@iou{iou_thresh:.2f}"
+    tkey = f"temporal_recall@iou{iou_thresh:.2f}"
+    cells = {}
+    with tempfile.TemporaryDirectory() as td:
+        for cell, path, gt in build_robustness_cells(td, frames):
+            r = score_video(path, gt=gt, iou_thresh=iou_thresh)
+            print(json.dumps({cell: r}), flush=True)
+            cells[cell] = {
+                "raw_recall": round(r[key], 4),
+                "temporal_recall": round(r[tkey], 4),
+                "mean_matched_iou": round(r["temporal_mean_matched_iou"], 4),
+            }
+    summary = {"frames_per_clip": frames, "iou_thresh": iou_thresh,
+               "cells": cells}
+    print(json.dumps({"robustness_summary": summary}))
+    if out:
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=1)
+    return summary
+
+
 def run_synthetic(n_face: int, n_noface: int, frames: int,
                   iou_thresh: float, out: Optional[str]) -> dict:
     import json
@@ -325,10 +513,17 @@ def main() -> None:
                              "clips (+ N//2+1 no-face distractor clips) "
                              "instead of scoring --video/--videos")
     parser.add_argument("--synthetic_frames", type=int, default=60)
+    parser.add_argument("--cells", action="store_true",
+                        help="run the robustness cells (rotation, "
+                             "occlusion, two-face) instead of scoring "
+                             "--video/--videos")
     parser.add_argument("--out", default=None,
                         help="write the synthetic summary JSON here")
     args = parser.parse_args()
 
+    if args.cells:
+        run_robustness_cells(args.synthetic_frames, args.iou, args.out)
+        return
     if args.synthetic:
         run_synthetic(args.synthetic, args.synthetic // 2 + 1,
                       args.synthetic_frames, args.iou, args.out)
