@@ -135,6 +135,26 @@ def extract_audio_track(video_path: str, sample_rate: int = 16000,
     return np.frombuffer(out, np.float32).copy()
 
 
+def extract_audio_to_wav(video_path: str, output_path: str,
+                         sample_rate: int = 16000) -> bool:
+    """Video → 16-bit mono WAV via ANY available decode route (PCM demux
+    or ffmpeg).  The offline substitute behind ``prep audio`` when ffmpeg
+    is absent: the reference's converters emit mp3 (which needs libmp3lame),
+    but every downstream consumer (voice_extractor.py:66 / our
+    extract_audio_folder) just wants a decodable waveform — WAV loses
+    nothing and needs no codec."""
+    wav = extract_audio_track(video_path, sample_rate)
+    if wav is None or not len(wav):
+        return False
+    with wave_mod.open(output_path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(np.clip(wav * 32768.0, -32768, 32767)
+                      .astype(np.int16).tobytes())
+    return True
+
+
 def convert_video_to_audio(video_path: str, output_path: str,
                            bitrate: str = "320k") -> bool:
     """Video → mp3 (the cremad/ravdess_video_to_audio_converter capability,

@@ -53,25 +53,35 @@ def cmd_faces(args) -> int:
 
 def cmd_audio(args) -> int:
     from mmer_tpu.preprocess.audio import (convert_video_to_audio,
+                                           extract_audio_to_wav,
                                            ffmpeg_available)
     from mmer_tpu.preprocess.video import iter_video_files
 
-    if not ffmpeg_available():
-        print("ffmpeg binary not available — cannot extract audio tracks",
-              file=sys.stderr)
-        return 1
+    use_ffmpeg = ffmpeg_available()
+    if not use_ffmpeg:
+        # Offline fallback: decode PCM tracks (serve/pcm_mp4) and write
+        # WAV — same downstream consumers, no codec needed.  Videos whose
+        # audio is compressed still fail loudly per-file below.
+        print("ffmpeg not available — writing WAV from decodable "
+              "(PCM) audio tracks instead of mp3", file=sys.stderr)
     os.makedirs(args.output, exist_ok=True)
-    count = 0
+    count = failed = 0
     for video in iter_video_files(args.input):
         stem = os.path.splitext(os.path.basename(video))[0]
-        out = os.path.join(args.output, f"{stem}.mp3")
-        if convert_video_to_audio(video, out, bitrate=args.bitrate):
+        if use_ffmpeg:
+            out = os.path.join(args.output, f"{stem}.mp3")
+            ok = convert_video_to_audio(video, out, bitrate=args.bitrate)
+        else:
+            out = os.path.join(args.output, f"{stem}.wav")
+            ok = extract_audio_to_wav(video, out)
+        if ok:
             count += 1
             print(f"[{count}] {out}", flush=True)
         else:
+            failed += 1
             print(f"Error processing {video}", file=sys.stderr)
     print(f"Finished! Converted {count} videos.")
-    return 0
+    return 0 if count or not failed else 1
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
