@@ -204,6 +204,114 @@ def measure_extract_scaling(n_devices: int, reps: int = 3,
     return out
 
 
+def measure_train_scaling(n_devices: int, reps: int = 2, epochs: int = 4,
+                          batch: int = 1024, n_samples: int = 4096,
+                          max_chunks: int = 5) -> dict:
+    """dp efficiency of the FUSED trainer (VERDICT r4 #4: the pod
+    projection previously held training at its single-chip time — an
+    assumption where the extractors got a measurement).
+
+    STRONG-scaling basis, unlike the extractors: the global batch is a
+    convergence hyperparameter, so a dp pod keeps it and splits every
+    minibatch (train and eval) ``n`` ways — grad psum over the data axis
+    is the one collective.  On the virtual mesh the single-device and
+    sharded runs see the same physical cores and the same total work, so
+    ``efficiency = t_single / t_sharded`` isolates what the partitioned
+    program adds (psum, per-shard dispatch, layout) at ANY core count —
+    no ``ideal_mult`` calibration is needed.  What the virtual mesh cannot
+    see: real per-chip MXU utilization at the 8×-smaller per-chip batch,
+    and real ICI latency — but training is <3% of the end-to-end wall
+    (bench.py components), so the projection is insensitive to both.
+
+    Correctness is asserted in-run (same-seed single vs dp best scores;
+    the full trajectory equality is pinned by tests/test_fused_multichip).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mmer_tpu.config import MeshConfig, ModelConfig, TrainConfig
+    from mmer_tpu.core.mesh import create_mesh, replicate
+    from mmer_tpu.data.pipeline import (balanced_class_weights,
+                                        stratified_splits)
+    from mmer_tpu.models.fusion import MultimodalEmotionModel
+    from mmer_tpu.parallel.sharding import shard_params
+    from mmer_tpu.train.fused import build_fused_train
+    from mmer_tpu.train.loop import make_optimizer
+
+    if len(jax.devices()) < n_devices:
+        raise RuntimeError(f"need {n_devices} devices, "
+                           f"found {len(jax.devices())}")
+    mesh = create_mesh(MeshConfig(), devices=jax.devices()[:n_devices])
+    rng_np = np.random.default_rng(0)
+    t = max_chunks
+    labels = rng_np.integers(0, 6, size=(n_samples,)).astype(np.int32)
+    lengths = rng_np.integers(1, t + 1, size=(n_samples,)).astype(np.int32)
+    dev = {
+        "video": jnp.asarray(
+            rng_np.normal(size=(n_samples, t, 768)).astype(np.float32)),
+        "audio": jnp.asarray(
+            rng_np.normal(size=(n_samples, 1024)).astype(np.float32)),
+        "pad_mask": jnp.asarray(
+            np.arange(t)[None, :] >= lengths[:, None]),
+        "labels": jnp.asarray(labels),
+    }
+    tr, va, te = stratified_splits(labels, seed=42)
+    cw = jnp.asarray(balanced_class_weights(labels[tr]))
+    tri = jnp.asarray(tr, jnp.int32)
+    vai = jnp.asarray(va, jnp.int32)
+    tei = jnp.asarray(te, jnp.int32)
+
+    # PRODUCTION model + recipe shapes (bench.py's fused-train component).
+    model_cfg = ModelConfig(max_seq_len=t + 1)
+    train_cfg = TrainConfig(lr=1e-4, num_epochs=epochs, patience=10 ** 9)
+    model = MultimodalEmotionModel(model_cfg)
+    optimizer = make_optimizer(train_cfg)
+
+    def timed(use_mesh) -> tuple:
+        run = build_fused_train(model, optimizer, model_cfg, train_cfg,
+                                batch, mesh=use_mesh)
+
+        def once(seed: int) -> float:
+            r = jax.random.PRNGKey(seed)
+            params = model.init(
+                {"params": r}, dev["video"][:2], dev["audio"][:2],
+                dev["pad_mask"][:2])["params"]
+            d, c = dev, cw
+            if use_mesh is not None and use_mesh.size > 1:
+                params = shard_params(params, use_mesh)
+                d = replicate(use_mesh, dev)
+                c = replicate(use_mesh, cw)
+            final = run(params, optimizer.init(params), r, d,
+                        tri, vai, tei, c)
+            jax.block_until_ready(final.epoch)
+            return float(final.best_score)
+
+        once(99)                           # compile + first-touch warmup
+        best, score0 = float("inf"), None
+        for s in range(reps):
+            t0 = time.perf_counter()
+            score = once(s)
+            best = min(best, time.perf_counter() - t0)
+            if s == 0:
+                score0 = score
+        return best, score0
+
+    t_single, s_single = timed(None)
+    t_sharded, s_sharded = timed(mesh)
+    if not (abs(s_single - s_sharded)
+            <= 1e-3 * max(abs(s_single), abs(s_sharded), 1e-9)):
+        raise AssertionError(
+            f"dp{n_devices} fused run diverged from single-device: "
+            f"best score {s_sharded} vs {s_single}")
+    return {"n_devices": n_devices, "epochs": epochs,
+            "global_batch": batch, "n_samples": n_samples,
+            "t_single_s": round(t_single, 4),
+            "t_sharded_s": round(t_sharded, 4),
+            "efficiency": round(min(t_single / t_sharded, 1.0), 4),
+            "efficiency_raw": round(t_single / t_sharded, 4),
+            "best_score_abs_diff": round(abs(s_single - s_sharded), 6)}
+
+
 def main() -> None:
     import argparse
 
@@ -211,9 +319,16 @@ def main() -> None:
     parser.add_argument("--n_devices", type=int, default=8)
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--per_device_batch", type=int, default=16)
+    parser.add_argument("--train", action="store_true",
+                        help="also measure fused-trainer dp efficiency "
+                             "(adds a 'train' key)")
+    parser.add_argument("--train_epochs", type=int, default=4)
     args = parser.parse_args()
     result = measure_extract_scaling(args.n_devices, reps=args.reps,
                                      per_device_batch=args.per_device_batch)
+    if args.train:
+        result["train"] = measure_train_scaling(
+            args.n_devices, epochs=args.train_epochs)
     print(json.dumps(result))
 
 

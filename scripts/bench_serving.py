@@ -134,6 +134,30 @@ def main() -> None:
             f"p95={pctl(lats, 95)*1e3:.0f}ms "
             f"(n={len(lats)}, {args.frames} frames/upload)")
 
+    # Novel-resolution first request (VERDICT r4 #3): the canonical
+    # frame ladder (core/buckets.resolution_bucket) means an upload at a
+    # resolution never seen before hits a WARM crop graph whenever its
+    # bucket was already compiled.  256x300 uploads bucket to (320, 320);
+    # 280x310 is a NOVEL raw resolution in the SAME bucket (should be
+    # ~warm — this request used to pay an 11-19 s compile), while 500x700
+    # lands in a NEW bucket (640, 720) and pays that bucket's compile
+    # ONCE for the whole family cell.
+    res_stats = {}
+    for label, (w_, h_) in (("same_bucket_novel_res", (310, 280)),
+                            ("new_bucket_first_req", (700, 500))):
+        # Same frame count as the main loop so every OTHER graph (fusion
+        # window lengths, audio bucket, batch buckets) is already warm and
+        # the delta isolates the crop graph.
+        p = os.path.join(tmp, f"nr_{label}.mp4")
+        make_face_video(p, args.frames, seed=77, size=(w_, h_),
+                        audio=not args.no_audio)
+        t0 = time.time()
+        r = engine.infer_file_bytes(open(p, "rb").read(), f"{label}.mp4",
+                                    detect_every=args.detect_every)
+        res_stats[label + "_s"] = round(time.time() - t0, 2)
+        assert r["inference"], f"no inference items on {label}"
+        log(f"{label} ({h_}x{w_}): {res_stats[label + '_s']}s")
+
     long_stats = None
     if args.long_upload_frames:
         import resource
@@ -172,6 +196,7 @@ def main() -> None:
         "p95_ms": round(pctl(results[False], 95) * 1e3, 1),
         "explain_p50_ms": round(pctl(results[True], 50) * 1e3, 1),
         "explain_p95_ms": round(pctl(results[True], 95) * 1e3, 1),
+        **res_stats,
     }))
 
 
