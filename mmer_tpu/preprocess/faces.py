@@ -170,6 +170,82 @@ class HaarFaceDetector:
                 return best
         return None
 
+    def track_near(self, frame_rgb: np.ndarray,
+                   prior: Tuple[float, float, float, float],
+                   template_gray: np.ndarray,
+                   expand: float = 0.75, min_score: float = 0.45,
+                   iou_gate: float = 0.25
+                   ) -> Optional[Tuple[float, float, float, float, float]]:
+        """NCC template fallback for frames where BOTH cascade passes miss
+        (full-strength and ``detect_near``'s relaxed/rotated retries) —
+        chiefly partial occlusion, which defeats a whole-face Haar cascade
+        outright (VERDICT r4 #5: the reference's YOLO degrades gracefully
+        there; robustness_cells.json measured occlusion_40 at 0.33
+        temporal recall without this stage).
+
+        Matches the last CONFIRMED face patch (``template_gray``, captured
+        at full-strength detections only — refreshing it from relaxed hits
+        measured WORSE on the occlusion cells (0.33→0.22 temporal recall:
+        relaxed boxes are occluder-contaminated), and NCC-tracked frames
+        never refresh it (self-reinforcing drift) — inside the
+        ``expand``-grown prior ROI with ``cv2.matchTemplate``
+        TM_CCOEFF_NORMED.  Besides the full patch, its four HALVES
+        (top/bottom/left/right) are matched too and the best-correlating
+        one wins — a face whose bottom is covered still matches its top
+        half near-perfectly even when the full patch (occluded differently
+        at capture time) decorrelates.  The candidate box keeps the
+        TEMPLATE's extent at the matched location.  Two measured-worse
+        alternatives, don't redo (occlusion cells, r5): prior-sized
+        reconstruction lets a stale sub-face template drag the prior
+        (occ25 0.82→0.80; at min_score 0.40 it collapsed occ40 0.33→0.03
+        — the occluder itself out-correlates the face, 0.47 vs 0.45, and
+        only the prior-IoU gate tells them apart), and gradient-domain
+        (Sobel) matching is noise-dominated (face parts 0.25-0.46).
+        Three gates keep it from inventing faces: the mean-subtracted
+        correlation must clear ``min_score`` (a fully-covered face
+        decorrelates and drops out), the candidate must overlap the prior
+        (IoU ≥ ``iou_gate``), and — like ``detect_near`` — there is no
+        pass at all without a confirmed prior, so no-face false-positive
+        behavior is unchanged."""
+        import cv2
+
+        x1, y1, x2, y2 = prior
+        bw, bh = x2 - x1, y2 - y1
+        fh, fw = frame_rgb.shape[:2]
+        ex1 = max(int(x1 - expand * bw), 0)
+        ey1 = max(int(y1 - expand * bh), 0)
+        ex2 = min(int(x2 + expand * bw), fw)
+        ey2 = min(int(y2 + expand * bh), fh)
+        th, tw = template_gray.shape[:2]
+        if ex2 - ex1 < tw + 2 or ey2 - ey1 < th + 2 or th < 16 or tw < 16:
+            return None
+        gray = cv2.cvtColor(frame_rgb[ey1:ey2, ex1:ex2], cv2.COLOR_RGB2GRAY)
+        # (subpatch, box-anchor offset of the subpatch inside the template)
+        parts = ((template_gray, 0, 0),
+                 (template_gray[:th // 2], 0, 0),            # top half
+                 (template_gray[th - th // 2:], 0, th - th // 2),  # bottom
+                 (template_gray[:, :tw // 2], 0, 0),         # left half
+                 (template_gray[:, tw - tw // 2:], tw - tw // 2, 0))  # right
+        best = None
+        for part, offx, offy in parts:
+            res = cv2.matchTemplate(gray, part, cv2.TM_CCOEFF_NORMED)
+            _, score, _, (mx, my) = cv2.minMaxLoc(res)
+            if score < min_score or (best and score <= best[0]):
+                continue
+            # full template-extent box reconstructed from the part's
+            # offset (sub-face templates then fail the prior gate and
+            # tracking conservatively declines — measured better than
+            # forcing a prior-sized box, see docstring)
+            cx1 = float(ex1 + mx - offx)
+            cy1 = float(ey1 + my - offy)
+            cand = (cx1, cy1, cx1 + tw, cy1 + th)
+            if _iou(cand, prior) < iou_gate:
+                continue
+            best = (float(score), cand)
+        if best is None:
+            return None
+        return (*best[1], best[0])
+
 
 class YoloFaceDetector:
     """YOLO face detector (the reference's backend,
@@ -207,6 +283,20 @@ def default_detector():
 # bbox artifact contract
 # ---------------------------------------------------------------------------
 
+def _face_patch(rgb: np.ndarray, box: Sequence[float]
+                ) -> Optional[np.ndarray]:
+    """Gray crop of a detection box (the NCC tracking template), or None
+    when the in-frame part is too small to correlate meaningfully."""
+    import cv2
+
+    h, w = rgb.shape[:2]
+    x1, y1 = max(int(box[0]), 0), max(int(box[1]), 0)
+    x2, y2 = min(int(box[2]), w), min(int(box[3]), h)
+    if x2 - x1 < 16 or y2 - y1 < 16:
+        return None
+    return cv2.cvtColor(rgb[y1:y2, x1:x2], cv2.COLOR_RGB2GRAY)
+
+
 def _iou(a: Sequence[float], b: Sequence[float]) -> float:
     x1, y1 = max(a[0], b[0]), max(a[1], b[1])
     x2, y2 = min(a[2], b[2]), min(a[3], b[3])
@@ -235,7 +325,11 @@ def extract_video_bboxes(video_path: str, detector=None,
        ``min_neighbors`` only in a region around the last confirmed box,
        gated by IoU against it (``HaarFaceDetector.detect_near``).  At most
        ``max_relaxed_chain`` consecutive relaxed hits before requiring a
-       full-strength detection again (bounds drift).
+       full-strength detection again (bounds drift).  When that also
+       misses, an NCC template match of the last full-strength face patch
+       (``HaarFaceDetector.track_near``) carries the track through partial
+       occlusion; tracked hits share the same chain budget and never
+       update the template.
     2. **Gap interpolation**: remaining gaps of ≤ ``max_gap`` frames
        between two confirmed boxes are filled by linear interpolation,
        written with the flanking boxes' min confidence.
@@ -265,6 +359,7 @@ def extract_video_bboxes(video_path: str, detector=None,
     prior_frame = -1
     relaxed_chain = 0
     confirmed = False
+    template: Optional[np.ndarray] = None   # last full-strength face patch
     last_full: Optional[Tuple[float, float, float, float]] = None
     last_full_frame = -1
     frame_idx = 0
@@ -289,11 +384,18 @@ def extract_video_bboxes(video_path: str, detector=None,
             if confirmed:
                 prior, prior_frame, relaxed_chain = best[:4], frame_idx, 0
                 anchor_frames.append(frame_idx)
+                p = _face_patch(rgb, best[:4])
+                template = p if p is not None else template
         elif (temporal and confirmed and prior is not None
                 and frame_idx - prior_frame <= max_gap
                 and relaxed_chain < max_relaxed_chain
                 and hasattr(detector, "detect_near")):
             d = detector.detect_near(rgb, prior)
+            tracked = False
+            if d is None and template is not None \
+                    and hasattr(detector, "track_near"):
+                d = detector.track_near(rgb, prior, template)
+                tracked = True
             if d is not None:
                 rows.append((frame_idx, *d))
                 prior, prior_frame = d[:4], frame_idx

@@ -401,3 +401,51 @@ def test_track_birth_hysteresis_blocks_isolated_fp_amplification(tmp_path):
     rows2 = extract_video_bboxes(pair, temporal=True)
     frames2 = {r[0] for r in rows2}
     assert {5, 6} <= frames2 or frames2 == set()  # detector may miss both
+
+
+def test_track_near_holds_through_partial_occlusion():
+    """NCC template fallback (VERDICT r4 #5 follow-up): with a confirmed
+    prior and the face 40% covered by an opaque bar, ``track_near`` must
+    localize the face where both cascade passes miss; with the face fully
+    covered it must return None (the min_score gate), and with no overlap
+    against the prior it must return None (the IoU gate)."""
+    cv2 = pytest.importorskip("cv2")
+    pytest.importorskip("matplotlib")
+    from matplotlib import cbook
+    from PIL import Image
+
+    from mmer_tpu.preprocess.faces import HaarFaceDetector
+
+    det = HaarFaceDetector()
+    img = np.asarray(Image.open(cbook.get_sample_data(
+        "grace_hopper.jpg", asfileobj=False)))
+    face = cv2.resize(img, (96, 112))
+    rng = np.random.default_rng(0)
+
+    def frame_with_face(ox, oy, cover_frac=0.0):
+        f = np.clip(rng.normal(110, 12, (360, 480, 3)), 0, 255)
+        f[oy:oy + 112, ox:ox + 96] = face
+        if cover_frac:
+            y1 = oy + int(112 * (1 - cover_frac))
+            cv2.rectangle(f, (ox - 4, y1), (ox + 100, oy + 116),
+                          (70, 70, 70), -1)
+        return f.astype(np.uint8)
+
+    template = cv2.cvtColor(face, cv2.COLOR_RGB2GRAY)
+    prior = (200.0, 120.0, 296.0, 232.0)          # face at (200,120) ± drift
+
+    # 40% occluded, face drifted 12 px from the prior: must still hit
+    hit = det.track_near(frame_with_face(212, 128, 0.40), prior, template)
+    assert hit is not None
+    x1, y1, x2, y2, score = hit
+    assert abs(x1 - 212) <= 6 and abs(y1 - 128) <= 6
+    assert score >= 0.45
+
+    # fully covered: correlation collapses below min_score
+    assert det.track_near(frame_with_face(212, 128, 1.0), prior,
+                          template) is None
+
+    # face present but far outside the prior: the IoU gate rejects even a
+    # strong in-ROI correlation peak (peak lands on background there)
+    assert det.track_near(frame_with_face(20, 20, 0.0), prior,
+                          template) is None
