@@ -244,13 +244,30 @@ def bench_extract_scaling(n_devices: int = POD_CHIPS) -> dict | None:
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     proc = subprocess.run(
         [sys.executable, "-m", "mmer_tpu.parallel.scaling",
-         "--n_devices", str(n_devices), "--train"],
-        env=env, cwd=repo, capture_output=True, text=True, timeout=2400)
+         "--n_devices", str(n_devices)],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1800)
     if proc.returncode != 0:
         _log(f"extract scaling subprocess failed rc={proc.returncode}:\n"
              f"{proc.stderr[-2000:]}")
         return None
     sc = json.loads(proc.stdout.strip().splitlines()[-1])
+    # Train dp efficiency in its OWN subprocess (review r5 #3): a timeout
+    # or relay fault in this newer, longer leg must not take the extract
+    # efficiencies — and the whole pod projection — down with it.  Missing
+    # 'train' falls back to the single-chip-time assumption downstream.
+    try:
+        tproc = subprocess.run(
+            [sys.executable, "-m", "mmer_tpu.parallel.scaling",
+             "--n_devices", str(n_devices), "--train_only"],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=1500)
+        if tproc.returncode == 0:
+            sc.update(json.loads(tproc.stdout.strip().splitlines()[-1]))
+        else:
+            _log(f"train scaling subprocess failed rc={tproc.returncode}:\n"
+                 f"{tproc.stderr[-1500:]}")
+    except subprocess.TimeoutExpired:
+        _log("train scaling subprocess timed out; pod projection falls "
+             "back to the single-chip training term")
     _log(f"extract fan-out dp{n_devices}: video weak eff "
          f"{sc['video'].get('weak_efficiency', 0):.3f} "
          f"(strong {sc['video']['efficiency']:.3f}), audio weak eff "

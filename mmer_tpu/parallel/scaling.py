@@ -322,13 +322,35 @@ def main() -> None:
     parser.add_argument("--train", action="store_true",
                         help="also measure fused-trainer dp efficiency "
                              "(adds a 'train' key)")
+    parser.add_argument("--train_only", action="store_true",
+                        help="measure ONLY the fused-trainer dp "
+                             "efficiency (emits just the 'train' key — "
+                             "bench.py runs this as its own subprocess so "
+                             "a train-leg timeout cannot take the extract "
+                             "efficiencies down with it)")
     parser.add_argument("--train_epochs", type=int, default=4)
     args = parser.parse_args()
+    if args.train_only:
+        print(json.dumps({"train": measure_train_scaling(
+            args.n_devices, epochs=args.train_epochs)}))
+        return
     result = measure_extract_scaling(args.n_devices, reps=args.reps,
                                      per_device_batch=args.per_device_batch)
     if args.train:
-        result["train"] = measure_train_scaling(
-            args.n_devices, epochs=args.train_epochs)
+        # Best-effort: a train-leg failure (trajectory-divergence assert,
+        # relay fault on this environment's tunnel) must not take the
+        # extract efficiencies — and with them bench.py's whole pod
+        # projection — down with it (review r5 #3).  bench.py already
+        # handles a missing 'train' key by falling back to the
+        # single-chip-time assumption for that term.
+        try:
+            result["train"] = measure_train_scaling(
+                args.n_devices, epochs=args.train_epochs)
+        except Exception as e:                          # noqa: BLE001
+            import sys
+            print(f"train scaling leg failed (extract results still "
+                  f"emitted): {type(e).__name__}: {e}", file=sys.stderr,
+                  flush=True)
     print(json.dumps(result))
 
 

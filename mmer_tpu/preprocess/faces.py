@@ -391,11 +391,9 @@ def extract_video_bboxes(video_path: str, detector=None,
                 and relaxed_chain < max_relaxed_chain
                 and hasattr(detector, "detect_near")):
             d = detector.detect_near(rgb, prior)
-            tracked = False
             if d is None and template is not None \
                     and hasattr(detector, "track_near"):
                 d = detector.track_near(rgb, prior, template)
-                tracked = True
             if d is not None:
                 rows.append((frame_idx, *d))
                 prior, prior_frame = d[:4], frame_idx

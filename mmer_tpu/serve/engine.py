@@ -539,9 +539,9 @@ class InferenceEngine:
                resolutions: Sequence[Tuple[int, int]] = (),
                fps: float = 30.0) -> None:
         """Pre-compile the default-request compute graphs (ViViT at the
-        subchunk shape, Wav2Vec2 at the 1 s bucket AND the bucket a full
-        ``window_size`` window lands in at ``fps`` — the dominant request
-        shape, ~6 s for the 5×32-frame/30 fps default — fusion AND the IG
+        subchunk shape, Wav2Vec2 at the 1 s bucket and every bucket a
+        ≤ ``window_size``-subchunk window lands in at ``fps`` — 2–6 s for
+        the 32-frame/30 fps default — fusion AND the IG
         explain graph at each window length) so the first real upload
         doesn't pay cold-compile latency.  With the persistent compile
         cache this is fast after the first-ever server start on a machine.
@@ -610,19 +610,25 @@ class InferenceEngine:
         self.audio_embedder.embed_batch(
             [np.zeros(self.wav_cfg.sample_rate, np.float32)])
         phase("w2v2 forward graph (1s bucket)")
-        # The bucket a full default window actually lands in — wl·32 frames
-        # at `fps` is ~5.33 s → the 6 s bucket at the 30 fps default; the
-        # 1 s graph above never serves it, so without this the first real
-        # upload after a "warm" start paid the full wav2vec2-large compile.
-        # Clips beyond chunk_duration_s are split, so that caps the bucket.
-        win_s = min(window_size * subchunk_size / max(fps, 1e-6),
-                    float(self.wav_cfg.chunk_duration_s))
-        win_samples = int(np.ceil(win_s) * self.wav_cfg.sample_rate)
-        if win_samples > self.wav_cfg.sample_rate:
+        # The buckets real windows land in: window length wl covers
+        # wl·subchunk_size frames → ceil(wl·32/fps) s at the 1 s bucket
+        # granularity, for EVERY wl ≤ window_size — a 96-frame upload
+        # (3 subchunks) makes windows of 3/2/1 subchunks → the 4 s/3 s/
+        # 2 s buckets, and warming only the max-window bucket left all
+        # three cold (measured r5: a 38 s first "warmed" request, three
+        # wav2vec2-large request-time compiles).  Clips beyond
+        # chunk_duration_s are split, so that caps the bucket family.
+        warmed_buckets = {1}
+        for wl in range(1, window_size + 1):
+            win_s = min(wl * subchunk_size / max(fps, 1e-6),
+                        float(self.wav_cfg.chunk_duration_s))
+            b = int(np.ceil(win_s))
+            if b in warmed_buckets:
+                continue
+            warmed_buckets.add(b)
             self.audio_embedder.embed_batch(
-                [np.zeros(win_samples, np.float32)])
-            phase(f"w2v2 forward graph ({int(np.ceil(win_s))}s window "
-                  f"bucket)")
+                [np.zeros(b * self.wav_cfg.sample_rate, np.float32)])
+            phase(f"w2v2 forward graph ({b}s bucket, window wl={wl})")
         _, params, apply = self.fusion
         phase("fusion params init+load")
         for wl in range(1, window_size + 1):

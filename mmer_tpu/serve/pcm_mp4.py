@@ -40,7 +40,8 @@ import numpy as np
 
 from mmer_tpu.serve.remux import _box, _full, _matrix
 
-__all__ = ["mux_pcm_track", "demux_pcm_track", "MuxError"]
+__all__ = ["mux_pcm_track", "mux_pcm_into_file", "demux_pcm_track",
+           "MuxError"]
 
 _PCM_FOURCC = {b"sowt": "<i2", b"twos": ">i2"}
 
@@ -208,10 +209,14 @@ def demux_pcm_track(src: Union[str, bytes, os.PathLike]
         except OSError:
             return None
     try:
-        try:
-            boxes = list(_iter_boxes(f, 0, size))
-        except (MuxError, struct.error):
-            return None
+        # The WHOLE parse is best-effort: this runs on every untrusted
+        # /infer upload BEFORE the ffmpeg fallback, so any malformed box
+        # interior (corrupt nested sizes → MuxError, short reads →
+        # struct.error, misaligned tables → ValueError) must mean "no PCM
+        # track here" (the zero-audio fallback), never a request-killing
+        # exception (review r5 #1: a valid-ftyp file with a corrupt moov
+        # child previously 500'd the request).
+        boxes = list(_iter_boxes(f, 0, size))
         if not any(t == b"ftyp" for t, _, _, _ in boxes[:2]):
             return None
         moov = next(((hs, s, e) for t, hs, s, e in boxes if t == b"moov"),
@@ -244,6 +249,8 @@ def demux_pcm_track(src: Union[str, bytes, os.PathLike]
             if ch > 1 and len(wav) % ch == 0:
                 wav = wav.reshape(-1, ch).mean(axis=1)
             return wav, int(tbl["rate"])
+        return None
+    except (MuxError, struct.error, ValueError):
         return None
     finally:
         f.close()
@@ -284,6 +291,17 @@ def _pcm_trak(track_id: int, n: int, sample_rate: int, mvhd_dur: int,
     minf = _box(b"minf", _full(b"smhd", 0, 0, b"\x00" * 4), dinf, stbl)
     mdia = _box(b"mdia", mdhd, hdlr, minf)
     return _box(b"trak", tkhd, mdia)
+
+
+def mux_pcm_into_file(path: Union[str, os.PathLike], waveform: np.ndarray,
+                      sample_rate: int) -> None:
+    """Rewrite the MP4 at ``path`` with a PCM track added — the
+    read→mux→rewrite step shared by every in-image synthesizer
+    (full_chain / bench_serving / demo_frontend test uploads)."""
+    with open(path, "rb") as f:
+        data = mux_pcm_track(f.read(), waveform, sample_rate)
+    with open(path, "wb") as f:
+        f.write(data)
 
 
 def mux_pcm_track(mp4: bytes, waveform: np.ndarray,

@@ -47,7 +47,22 @@ def make_face_video(path: str, frames: int, seed: int, size=(256, 300),
 
     img = np.asarray(Image.open(
         cbook.get_sample_data("grace_hopper.jpg", asfileobj=False)))
-    img = cv2.resize(img, size)
+    w_t, h_t = size
+    h_s, w_s = img.shape[:2]
+    if abs(w_t / h_t - w_s / h_s) < 0.05:
+        img = cv2.resize(img, size)
+    else:
+        # Aspect-preserving paste for off-aspect targets (the novel-
+        # resolution legs): a bare resize squashes the portrait and the
+        # frontal cascade finds no face at all (measured r5 — the leg
+        # then asserts on zero inference items, testing nothing).
+        s = min(w_t / w_s, h_t / h_s)
+        nw, nh = int(w_s * s), int(h_s * s)
+        face = cv2.resize(img, (nw, nh))
+        canvas = np.full((h_t, w_t, 3), 96, np.uint8)
+        y0, x0 = (h_t - nh) // 2, (w_t - nw) // 2
+        canvas[y0:y0 + nh, x0:x0 + nw] = face
+        img = canvas
     w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, size)
     if not w.isOpened():
         raise RuntimeError("no mp4 encoder in this cv2 build")
@@ -59,13 +74,11 @@ def make_face_video(path: str, frames: int, seed: int, size=(256, 300),
     if audio:
         # Per-seed tone + noise: repeated device calls are never identical
         # (tunnel dedup trap), and the engine's audio branch goes live.
-        from mmer_tpu.serve.pcm_mp4 import mux_pcm_track
+        from mmer_tpu.serve.pcm_mp4 import mux_pcm_into_file
         t = np.arange(int(frames / fps * sample_rate)) / sample_rate
         wav = (0.4 * np.sin(2 * np.pi * (200 + 40 * seed) * t)
                + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
-        data = mux_pcm_track(open(path, "rb").read(), wav, sample_rate)
-        with open(path, "wb") as f:
-            f.write(data)
+        mux_pcm_into_file(path, wav, sample_rate)
 
 
 def pctl(xs, p):

@@ -55,14 +55,12 @@ def make_demo_clip(path: str, frames: int = 48, size=(256, 300),
         w.write(np.clip(jitter, 0, 255).astype(np.uint8)[:, :, ::-1])
     w.release()
     if audio:
-        from mmer_tpu.serve.pcm_mp4 import mux_pcm_track
+        from mmer_tpu.serve.pcm_mp4 import mux_pcm_into_file
         sr = 16000
         t = np.arange(int(frames / 30.0 * sr)) / sr
         wav = (0.4 * np.sin(2 * np.pi * 330 * t)
                * (0.6 + 0.4 * np.sin(2 * np.pi * 2 * t))).astype(np.float32)
-        data = mux_pcm_track(open(path, "rb").read(), wav, sr)
-        with open(path, "wb") as f:
-            f.write(data)
+        mux_pcm_into_file(path, wav, sr)
 
 
 def main() -> None:

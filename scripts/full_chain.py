@@ -60,7 +60,7 @@ def generate_raw_dataset(root: str, actors: int, seed: int = 0) -> dict:
     from matplotlib import cbook
     from PIL import Image
 
-    from mmer_tpu.serve.pcm_mp4 import mux_pcm_track
+    from mmer_tpu.serve.pcm_mp4 import mux_pcm_into_file
 
     vdir = os.path.join(root, "raw_videos")
     os.makedirs(vdir, exist_ok=True)
@@ -103,9 +103,7 @@ def generate_raw_dataset(root: str, actors: int, seed: int = 0) -> dict:
             tone = 0.3 * np.sin(2 * np.pi * (200 + 60 * ei)
                                 * np.arange(n) / sr)
             tone = (tone + rng.normal(scale=0.05, size=n)).astype(np.float32)
-            data = mux_pcm_track(open(path, "rb").read(), tone, sr)
-            with open(path, "wb") as f:
-                f.write(data)
+            mux_pcm_into_file(path, tone, sr)
             labels[path] = emo
     return labels
 

@@ -79,7 +79,7 @@ def score_video(video_path: str, detector=None,
     detected = 0
     centers: List[Tuple[float, float]] = []
     matched = 0
-    gt_frames = 0
+    gt_boxes = 0
     ious: List[float] = []
     while True:
         ok, frame = cap.read()
@@ -95,7 +95,7 @@ def score_video(video_path: str, detector=None,
             # each face separately, so detecting only one of two faces
             # scores 50%, not 100%.
             for g in gt[n]:
-                gt_frames += 1
+                gt_boxes += 1
                 best = max((iou(np.asarray(d[:4], float), g)
                             for d in dets), default=0.0)
                 if best >= iou_thresh:
@@ -133,24 +133,32 @@ def score_video(video_path: str, detector=None,
     }
     if gt is not None:
         out.update({
-            "gt_frames": gt_frames,
+            "gt_boxes": gt_boxes,
             "recall@iou{:.2f}".format(iou_thresh):
-                matched / max(gt_frames, 1),
+                matched / max(gt_boxes, 1),
             "mean_matched_iou": float(np.mean(ious)) if ious else 0.0,
         })
-        # The PRODUCTION path (temporal pipeline) against the same GT.
-        t_matched, t_ious = 0, []
+        # The PRODUCTION path (temporal pipeline) against the same GT —
+        # per-GT-BOX, the SAME basis as the raw recall above (review r5
+        # #2: collapsing to one best box per frame made the two metrics
+        # incomparable and let a two-face cell score 1.00 while only ever
+        # covering one face).  Each GT box matches against ALL rows the
+        # pipeline emitted for that frame (raw detections + recovery).
+        by_frame: Dict[int, List] = {}
+        for r in rows:
+            by_frame.setdefault(r[0], []).append(r[1:5])
+        t_matched, t_total, t_ious = 0, 0, []
         for f, boxes in gt.items():
-            if f not in per:
-                continue
-            best = max((iou(np.asarray(per[f][:4], float), g)
-                        for g in boxes), default=0.0)
-            if best >= iou_thresh:
-                t_matched += 1
-                t_ious.append(best)
+            for g in boxes:
+                t_total += 1
+                best = max((iou(np.asarray(b, float), g)
+                            for b in by_frame.get(f, ())), default=0.0)
+                if best >= iou_thresh:
+                    t_matched += 1
+                    t_ious.append(best)
         out.update({
             "temporal_recall@iou{:.2f}".format(iou_thresh):
-                t_matched / max(len(gt), 1),
+                t_matched / max(t_total, 1),
             "temporal_mean_matched_iou":
                 float(np.mean(t_ious)) if t_ious else 0.0,
         })

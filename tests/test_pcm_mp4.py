@@ -142,6 +142,39 @@ def test_demux_none_cases(tmp_path):
     assert demux_pcm_track(src) is None       # mp4 without a PCM track
 
 
+def test_demux_malformed_interiors_return_none(tmp_path):
+    """demux runs on every untrusted /infer upload before the ffmpeg
+    fallback, so ANY malformed box interior must mean None (the zero-audio
+    fallback), never an exception that 500s the request (review r5 #1 —
+    a valid-ftyp file whose moov contains a corrupt-size child previously
+    raised MuxError out of the engine)."""
+    import struct
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    # moov child with size 4 (< header size) → corrupt nested box
+    assert demux_pcm_track(
+        ftyp + box(b"moov", struct.pack(">I", 4) + b"trak")) is None
+    # truncated trak/mdia interiors (short reads inside _parse_stbl)
+    trak = box(b"trak", box(b"mdia", box(b"hdlr", b"\x00" * 8 + b"soun")))
+    assert demux_pcm_track(ftyp + box(b"moov", trak)) is None
+    # sowt sample entry present but tables truncated mid-struct
+    stsd = box(b"stsd", b"\x00" * 8 + box(b"sowt", b"\x00" * 28))
+    stbl = box(b"stbl", stsd + box(b"stsz", b"\x00" * 3))
+    minf = box(b"minf", stbl)
+    hdlr = box(b"hdlr", b"\x00" * 12 + b"soun" + b"\x00" * 13)
+    trak2 = box(b"trak", box(b"mdia", hdlr + minf))
+    assert demux_pcm_track(ftyp + box(b"moov", trak2)) is None
+    # a real PCM file with its tail (the appended moov) cut off
+    good = str(tmp_path / "good.mp4")
+    _face_mp4(good, frames=4)
+    with open(good, "rb") as f:
+        data = mux_pcm_track(f.read(), np.zeros(1600, np.float32), 16000)
+    assert demux_pcm_track(data[:-40]) is None
+
+
 # --------------------------------------------------------------------------
 # extract_audio_track PCM route (no ffmpeg involved)
 # --------------------------------------------------------------------------
