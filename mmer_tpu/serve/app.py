@@ -415,7 +415,16 @@ def main():
                         help="comma-separated HxW video formats to also "
                              "pre-compile the crop graph for, e.g. "
                              "'480x640,720x1280' (first upload of an "
-                             "unwarmed resolution pays a small compile)")
+                             "unwarmed resolution bucket pays a small "
+                             "compile)")
+    parser.add_argument("--warmup_upload", default=None, metavar="PATH",
+                        help="video file replayed end-to-end as the last "
+                             "warmup phase — warms the ~12 small "
+                             "request-path graphs the enumerated warmup "
+                             "cannot reach, so the FIRST real request "
+                             "runs at steady-state latency; use a "
+                             "representative clip (real face + audio, "
+                             "production resolution)")
     args = parser.parse_args()
     model_cfg = None
     if args.fusion_params is None:
@@ -451,7 +460,11 @@ def main():
             except ValueError:
                 parser.error(f"--warmup_resolutions entry {part!r} is not "
                              f"HxW (e.g. '480x640')")
-        engine.warmup(resolutions=resolutions)
+        sample = None
+        if args.warmup_upload:
+            with open(args.warmup_upload, "rb") as f:
+                sample = f.read()
+        engine.warmup(resolutions=resolutions, sample_upload=sample)
     serve(engine, args.host, args.port,
           max_upload_bytes=args.max_upload_mb << 20)
 

@@ -537,7 +537,8 @@ class InferenceEngine:
     def warmup(self, subchunk_size: int = 32, window_size: int = 5,
                explain: bool = True,
                resolutions: Sequence[Tuple[int, int]] = (),
-               fps: float = 30.0) -> None:
+               fps: float = 30.0,
+               sample_upload: Optional[bytes] = None) -> None:
         """Pre-compile the default-request compute graphs (ViViT at the
         subchunk shape, Wav2Vec2 at the 1 s bucket and every bucket a
         ≤ ``window_size``-subchunk window lands in at ``fps`` — 2–6 s for
@@ -549,11 +550,17 @@ class InferenceEngine:
         core/buckets.py) compile once on first use and are then cached.
 
         ``resolutions``: (height, width) video formats to pre-compile the
-        per-resolution crop graph for (embed_cropped_frames) — without
-        this, the first upload of each new resolution pays a small
-        compile (~measured 17 s first-request vs 7 s steady on this
-        environment's relay).  Pass your expected camera formats, e.g.
-        ``[(480, 640), (720, 1280)]``."""
+        bucketed crop graph for (embed_cropped_frames) — without this,
+        the first upload's bucket pays a small compile.  Pass your
+        expected camera formats, e.g. ``[(480, 640), (720, 1280)]``.
+
+        ``sample_upload``: optional raw video-file bytes replayed through
+        ``infer_file_bytes`` as the LAST warmup phase.  The enumerated
+        warming above covers every big graph, but ~12 small auxiliary
+        request-path graphs (measured r5) only exist on the live path;
+        a representative sample (a real face + audio track, ideally at a
+        production resolution/length) warms those by construction, making
+        the first real request run at steady-state latency."""
         import time
 
         import numpy as np
@@ -644,6 +651,18 @@ class InferenceEngine:
                     params, video_w, audio_w, mask,
                     np.zeros((1,), np.int32)))
                 phase(f"IG graph wl={wl}")
+        # End-to-end sample request: the single-graph warming above still
+        # leaves ~12 small auxiliary graphs to the first real request
+        # (normalize at each window shape, IG aggregation, audio piece
+        # pooling, chunk packing — measured r5 via cProfile: 12 compiles,
+        # ~5.5 s, a 10.3 s first request with every ENUMERATED graph
+        # warm).  Enumerating them here would drift from the request path;
+        # replaying one representative upload covers them by construction.
+        if sample_upload is not None:
+            self.infer_file_bytes(sample_upload, "warmup_sample.mp4",
+                                  explain=explain)
+            phase("end-to-end sample request (auxiliary request-path "
+                  "graphs)")
         # Startup-phase breakdown (VERDICT r2 #5): where a restart's
         # wall-clock actually goes, phase by phase.
         prev = t_start

@@ -96,6 +96,18 @@ def main() -> None:
     ap.add_argument("--no_audio", action="store_true",
                     help="synthesize uploads WITHOUT an audio track "
                          "(reproduces the pre-r5 video-only latencies)")
+    ap.add_argument("--warmup_resolutions", default="",
+                    help="comma-separated HxW formats passed to warmup() "
+                         "(serve/app.py's flag): with the upload format "
+                         "listed, the first request pays NO crop compile "
+                         "— the production posture")
+    ap.add_argument("--warmup_upload", action="store_true",
+                    help="pass a synthesized sample clip (distinct from "
+                         "the measured uploads) to warmup() as its "
+                         "end-to-end replay phase (serve/app.py's "
+                         "--warmup_upload): warms the ~12 small "
+                         "request-path graphs, so the first measured "
+                         "request runs at steady-state latency")
     ap.add_argument("--long_upload_frames", type=int, default=0,
                     help="also run ONE long upload of this many frames "
                          "(e.g. 3600 = 2 min @ 30fps) and report its "
@@ -120,8 +132,18 @@ def main() -> None:
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
     if not args.no_warmup:
+        resolutions = []
+        for part in filter(None, args.warmup_resolutions.split(",")):
+            h, w = part.lower().strip().split("x")
+            resolutions.append((int(h), int(w)))
+        sample = None
+        if args.warmup_upload:
+            p = os.path.join(tmp, "warm_sample.mp4")
+            make_face_video(p, args.frames, seed=999,
+                            audio=not args.no_audio)
+            sample = open(p, "rb").read()
         t0 = time.time()
-        engine.warmup()
+        engine.warmup(resolutions=resolutions, sample_upload=sample)
         log(f"warmup: {time.time() - t0:.1f}s")
 
     # first request (cold if --no_warmup, else already-compiled)
