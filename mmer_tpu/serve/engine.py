@@ -660,7 +660,8 @@ class InferenceEngine:
         # replaying one representative upload covers them by construction.
         if sample_upload is not None:
             self.infer_file_bytes(sample_upload, "warmup_sample.mp4",
-                                  explain=explain)
+                                  subchunk_size=subchunk_size,
+                                  window_size=window_size, explain=explain)
             phase("end-to-end sample request (auxiliary request-path "
                   "graphs)")
         # Startup-phase breakdown (VERDICT r2 #5): where a restart's

@@ -99,6 +99,20 @@ def test_engine_warmup(engine):
                   resolutions=[(40, 52)])   # also pre-compiles a crop graph
 
 
+def test_engine_warmup_sample_replay(face_video, engine, capsys):
+    """warmup(sample_upload=...) replays the clip through the live
+    request path as its last phase (r5: warms the ~12 auxiliary graphs
+    enumerated warming can't reach) and must leave the engine fully
+    functional."""
+    with open(face_video, "rb") as f:
+        engine.warmup(subchunk_size=4, window_size=2,
+                      sample_upload=f.read())
+    assert "end-to-end sample request" in capsys.readouterr().out
+    res = engine.infer_video_file(face_video, subchunk_size=4,
+                                  window_size=2)
+    assert res["inference"], "engine broken after sample-replay warmup"
+
+
 def test_fusion_checkpoint_loading(tmp_path, face_video):
     """Engine must load best_model_*.msgpack files as written by the
     trainer (bare params tree) — and fail LOUDLY on a missing path
