@@ -426,6 +426,12 @@ def main():
                              "representative clip (real face + audio, "
                              "production resolution)")
     args = parser.parse_args()
+    if args.warmup_upload and not os.path.exists(args.warmup_upload):
+        parser.error(f"--warmup_upload file not found: {args.warmup_upload}")
+    if (args.warmup_upload or args.warmup_resolutions) and not args.warmup:
+        # Asking for specific warming clearly implies warming at all —
+        # silently starting cold would defeat both flags (review r5).
+        args.warmup = True
     model_cfg = None
     if args.fusion_params is None:
         ckpt, ns, mc = resolve_default_fusion()

@@ -538,7 +538,8 @@ class InferenceEngine:
                explain: bool = True,
                resolutions: Sequence[Tuple[int, int]] = (),
                fps: float = 30.0,
-               sample_upload: Optional[bytes] = None) -> None:
+               sample_upload: Optional[bytes] = None,
+               sample_detect_every: int = 3) -> None:
         """Pre-compile the default-request compute graphs (ViViT at the
         subchunk shape, Wav2Vec2 at the 1 s bucket and every bucket a
         ≤ ``window_size``-subchunk window lands in at ``fps`` — 2–6 s for
@@ -560,7 +561,9 @@ class InferenceEngine:
         request-path graphs (measured r5) only exist on the live path;
         a representative sample (a real face + audio track, ideally at a
         production resolution/length) warms those by construction, making
-        the first real request run at steady-state latency."""
+        the first real request run at steady-state latency.
+        ``sample_detect_every`` bounds the replay's host detection cost
+        on long samples (default 3, the production benchmark setting)."""
         import time
 
         import numpy as np
@@ -659,9 +662,21 @@ class InferenceEngine:
         # warm).  Enumerating them here would drift from the request path;
         # replaying one representative upload covers them by construction.
         if sample_upload is not None:
-            self.infer_file_bytes(sample_upload, "warmup_sample.mp4",
-                                  subchunk_size=subchunk_size,
-                                  window_size=window_size, explain=explain)
+            res = self.infer_file_bytes(sample_upload, "warmup_sample.mp4",
+                                        subchunk_size=subchunk_size,
+                                        window_size=window_size,
+                                        explain=explain,
+                                        detect_every=sample_detect_every)
+            if not res["inference"]:
+                # A no-face/undecodable sample silently warms NOTHING —
+                # the first real request would still pay the compiles
+                # this feature exists to remove.  Loud, but non-fatal:
+                # the server is still fully functional.
+                print("WARNING: warmup sample_upload produced no "
+                      "inference items (no face detected / not "
+                      "decodable) — auxiliary request-path graphs were "
+                      "NOT warmed; use a clip with a detectable face",
+                      flush=True)
             phase("end-to-end sample request (auxiliary request-path "
                   "graphs)")
         # Startup-phase breakdown (VERDICT r2 #5): where a restart's

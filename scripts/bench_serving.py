@@ -115,6 +115,17 @@ def main() -> None:
                          "streaming case (VERDICT r2 #6)")
     args = ap.parse_args()
 
+    # Validate BEFORE engine construction + video synthesis (minutes on
+    # this host) — same parse app.py does, same loud failure shape.
+    resolutions = []
+    for part in filter(None, args.warmup_resolutions.split(",")):
+        try:
+            h, w = part.lower().strip().split("x")
+            resolutions.append((int(h), int(w)))
+        except ValueError:
+            ap.error(f"--warmup_resolutions entry {part!r} is not HxW "
+                     f"(e.g. '480x640')")
+
     from mmer_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
 
@@ -132,14 +143,14 @@ def main() -> None:
     log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
     if not args.no_warmup:
-        resolutions = []
-        for part in filter(None, args.warmup_resolutions.split(",")):
-            h, w = part.lower().strip().split("x")
-            resolutions.append((int(h), int(w)))
         sample = None
         if args.warmup_upload:
             p = os.path.join(tmp, "warm_sample.mp4")
-            make_face_video(p, args.frames, seed=999,
+            # Seed outside the upload range [0, requests]: a collision
+            # would make one measured upload byte-identical to the
+            # already-replayed sample and trip the tunnel identical-call
+            # dedup (CLAUDE.md), skewing that request's latency low.
+            make_face_video(p, args.frames, seed=args.requests + 2,
                             audio=not args.no_audio)
             sample = open(p, "rb").read()
         t0 = time.time()
@@ -224,6 +235,8 @@ def main() -> None:
         **({"long_upload": long_stats} if long_stats else {}),
         "first_request_s": round(first, 2),
         "warmed": not args.no_warmup,
+        "warmup_resolutions": args.warmup_resolutions,
+        "warmup_upload": bool(args.warmup_upload),
         "audio_live": not args.no_audio,
         "frames_per_upload": args.frames,
         "detect_every": args.detect_every,
