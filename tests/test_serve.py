@@ -483,3 +483,46 @@ def test_flagship_manifest_roundtrip(tmp_path):
                         jnp.zeros((1, 1024)), jnp.zeros((1, t), bool))
     np.testing.assert_allclose(np.asarray(probs).sum(), 1.0, rtol=1e-5)
     assert eng.norm_stats["video_std"].shape == (768,)
+
+
+def test_http_concurrent_infer_requests(live_server, face_video):
+    """Concurrent uploads must all succeed: device work is lock-serialized
+    inside the handler (app.py — the functional-purity + lock posture
+    SURVEY §5 'race detection' maps to), so simultaneous requests may
+    queue but never corrupt each other or error."""
+    video_bytes = open(face_video, "rb").read()
+    boundary = "concbound"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; name="file"; '
+            'filename="c.mp4"\r\n'
+            "Content-Type: video/mp4\r\n\r\n").encode() + video_bytes \
+        + f"\r\n--{boundary}--\r\n".encode()
+
+    results = {}
+
+    def post(i):
+        req = urllib.request.Request(
+            live_server + "/infer/?subchunk_size=4&window_size=2",
+            data=body, method="POST",
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary}"})
+        try:
+            with urllib.request.urlopen(req) as r:
+                results[i] = (r.status, json.loads(r.read()))
+        except Exception as e:                        # noqa: BLE001
+            results[i] = ("error", repr(e))
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 4
+    for i, (status, res) in results.items():
+        assert status == 200, f"request {i}: {res}"
+        assert set(res) == {"bounding_box", "inference"}
+        assert res["inference"], f"request {i} lost its inference items"
+    # all four identical uploads must agree (no cross-request corruption)
+    classes = {tuple(it["class"] for it in res["inference"])
+               for _, res in results.values()}
+    assert len(classes) == 1
